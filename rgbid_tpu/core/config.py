@@ -1,0 +1,163 @@
+"""Configuration dataclasses for the whole framework.
+
+TPU-native equivalent of the reference's ini-style Settings component
+(SURVEY.md §2.1 "Settings/config": pyramid levels, per-level iterations,
+Student-t nu, keyframe thresholds, loop-closure toggles).
+
+All configs are frozen dataclasses so they hash stably and can be used as
+static arguments to jitted functions. ``SlamConfig.from_json`` /
+``override`` give the CLI the same flexibility as the reference's config
+file + flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Frame-to-keyframe dense tracking (SURVEY.md §3.2)."""
+
+    levels: int = 4
+    # Gauss-Newton iterations per level, indexed by level (0 = finest).
+    # Coarse levels get more iterations, like the reference.
+    iters: Tuple[int, ...] = (3, 4, 7, 10)
+    # Student-t degrees of freedom (reference default nu ~= 5).
+    student_t_nu: float = 5.0
+    # Initial robust scales (intensity in [0,1], inverse depth in 1/m).
+    init_sigma_int: float = 0.1
+    init_sigma_xi: float = 0.05
+    # Fixed-point iterations of the Student-t scale update per GN iteration.
+    sigma_iters: int = 1
+    # Levenberg damping added to the 6x6 normal equations for safety.
+    damping: float = 1e-6
+    # Use the inverse-depth geometric residual channel in addition to the
+    # photometric channel (the reference's joint error).
+    use_geometric: bool = True
+    # Huber-style gate: samples whose |r| exceeds gate_sigmas * sigma are
+    # counted as outliers in diagnostics (weights already downweight them).
+    gate_sigmas: float = 3.0
+    # Minimum fraction of keyframe pixels that must warp into the current
+    # image with valid samples for the frame to be accepted.
+    min_valid_fraction: float = 0.2
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe switching + lifecycle (SURVEY.md §2.1 KeyframeManager)."""
+
+    # Switch when the valid-overlap fraction between current frame and the
+    # active keyframe drops below this.
+    min_overlap: float = 0.75
+    # ... or when the camera moved too far from the keyframe.
+    max_translation: float = 0.25  # meters
+    max_rotation: float = 0.25  # radians
+    # ... or when the pose uncertainty grows too large (trace of covariance).
+    max_pose_sigma: float = 1e-2
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Inverse-depth fusion + uncertainty propagation (SURVEY.md §3.4)."""
+
+    # Sensor noise model: std of inverse depth measurements (approximately
+    # constant over range for structured-light sensors — the paper's key
+    # observation motivating the inverse-depth parametrization).
+    sensor_sigma_xi: float = 0.008
+    # Occlusion / dynamic-object gate in combined sigmas.
+    gate_k: float = 2.0
+    # Variance floor/ceiling to keep the Kalman update well conditioned.
+    min_variance: float = 1e-8
+    max_variance: float = 1.0
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Loop closure + pose graph (SURVEY.md §3.3)."""
+
+    enabled: bool = True
+    # ORB features per keyframe for place recognition.
+    num_features: int = 500
+    # Bag-of-words vocabulary (trained online; the sandbox has no network so
+    # no pretrained DBoW2 vocabulary file can be shipped).
+    vocab_branching: int = 8
+    vocab_levels: int = 3
+    # Candidate gating.
+    min_score: float = 0.12
+    min_keyframe_gap: int = 10
+    max_candidates: int = 4
+    # Dense verification (coarse pyramid levels, fixed iteration budget).
+    reloc_level: int = 2
+    reloc_iters: int = 12
+    max_reloc_residual: float = 2.5
+    min_reloc_inliers: float = 0.55
+    # Pose graph optimization.
+    pg_iterations: int = 15
+    pg_damping: float = 1e-5
+    # Use the native C++ pose-graph solver when built (falls back to numpy).
+    use_native: bool = True
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level system configuration (mirrors the reference's Settings)."""
+
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    # Depth PNG scale: raw u16 / depth_scale = meters (TUM uses 5000).
+    depth_scale: float = 5000.0
+    # Maximum sensor range in meters; deeper measurements are invalid.
+    max_depth: float = 10.0
+    min_depth: float = 0.3
+
+    # ------------------------------------------------------------------
+    def override(self, **updates: Any) -> "SlamConfig":
+        """Return a copy with dotted-key overrides, e.g.
+        ``cfg.override(**{"tracking.levels": 3, "backend.enabled": False})``.
+        """
+        out = self
+        for key, value in updates.items():
+            parts = key.split(".")
+            if len(parts) == 1:
+                out = dataclasses.replace(out, **{parts[0]: value})
+            elif len(parts) == 2:
+                sub = getattr(out, parts[0])
+                if isinstance(value, (list,)):
+                    value = tuple(value)
+                sub = dataclasses.replace(sub, **{parts[1]: value})
+                out = dataclasses.replace(out, **{parts[0]: sub})
+            else:
+                raise KeyError(f"config key too deep: {key}")
+        return out
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SlamConfig":
+        raw = json.loads(text)
+        return cls(
+            tracking=TrackingConfig(**{**raw.get("tracking", {}), "iters": tuple(raw.get("tracking", {}).get("iters", TrackingConfig.iters))})
+            if "tracking" in raw
+            else TrackingConfig(),
+            keyframe=KeyframeConfig(**raw.get("keyframe", {})),
+            fusion=FusionConfig(**raw.get("fusion", {})),
+            backend=BackendConfig(**raw.get("backend", {})),
+            depth_scale=raw.get("depth_scale", 5000.0),
+            max_depth=raw.get("max_depth", 10.0),
+            min_depth=raw.get("min_depth", 0.3),
+        )
+
+    def config_hash(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:12]
