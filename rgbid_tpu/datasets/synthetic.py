@@ -1,0 +1,282 @@
+"""Synthetic RGB-D sequence renderer with exact ground-truth poses.
+
+The sandbox has no network access, so TUM RGB-D sequences cannot be
+downloaded; all CI-grade correctness tests and benchmarks therefore run on
+synthetic sequences rendered here (SURVEY.md §4, consequence (3)). The
+renderer is deliberately simple — textured rectangles ray-cast in closed
+form — but produces exactly the signal structure dense RGB-D odometry
+needs: smooth band-limited texture (non-degenerate photometric gradients),
+piecewise-planar depth with discontinuities (occlusion handling), and a
+realistic sensor model (u16 quantization + constant-inverse-depth noise,
+the structured-light model motivating the reference's parametrization).
+
+Pure numpy + cv2; no JAX dependency (this is host-side L0 I/O).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import cv2
+import numpy as np
+
+from ..core.camera import Intrinsics
+
+# ---------------------------------------------------------------------------
+# Scene
+
+
+@dataclass
+class TexturedRect:
+    """Rectangle p0 + a*eu + b*ev, (a, b) in [0,1]^2, with a gray texture."""
+
+    p0: np.ndarray  # (3,)
+    eu: np.ndarray  # (3,)
+    ev: np.ndarray  # (3,)
+    texture: np.ndarray  # (T, T) float32 in [0, 1]
+    tint: np.ndarray  # (3,) per-channel color multiplier
+
+    @property
+    def normal(self) -> np.ndarray:
+        n = np.cross(self.eu, self.ev)
+        return n / np.linalg.norm(n)
+
+
+@dataclass
+class Scene:
+    rects: List[TexturedRect] = field(default_factory=list)
+
+
+def _smooth_texture(rng: np.random.Generator, size: int = 512, octaves=(8, 16, 32, 64)) -> np.ndarray:
+    """Band-limited multi-octave noise texture in [0.15, 0.85]."""
+    tex = np.zeros((size, size), np.float32)
+    amp = 1.0
+    for res in octaves:
+        coarse = rng.standard_normal((res, res)).astype(np.float32)
+        tex += amp * cv2.resize(coarse, (size, size), interpolation=cv2.INTER_CUBIC)
+        amp *= 0.55
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    return (0.15 + 0.7 * tex).astype(np.float32)
+
+
+def make_scene(seed: int = 0) -> Scene:
+    """Default test scene: a room corner (back wall, side wall, floor) plus a
+    free-standing tilted panel that creates parallax and occlusions.
+
+    World frame = camera frame of the canonical origin pose (x right,
+    y down, z forward); the scene sits 1.5–4 m in front of the origin.
+    """
+    rng = np.random.default_rng(seed)
+
+    def rect(p0, eu, ev, tint):
+        return TexturedRect(
+            p0=np.asarray(p0, np.float64),
+            eu=np.asarray(eu, np.float64),
+            ev=np.asarray(ev, np.float64),
+            texture=_smooth_texture(rng),
+            tint=np.asarray(tint, np.float32),
+        )
+
+    scene = Scene()
+    # Back wall: z = 4.0
+    scene.rects.append(rect([-4.0, -3.0, 4.0], [8.0, 0, 0], [0, 6.0, 0], [1.0, 0.95, 0.9]))
+    # Left wall: x = -2.5, spanning z in [1.0, 4.0]
+    scene.rects.append(rect([-2.5, -3.0, 1.0], [0, 0, 3.0], [0, 6.0, 0], [0.9, 1.0, 0.95]))
+    # Floor: y = 1.8
+    scene.rects.append(rect([-4.0, 1.8, 1.0], [8.0, 0, 0], [0, 0, 3.0], [0.95, 0.95, 1.0]))
+    # Tilted panel in the middle (occluder).
+    scene.rects.append(rect([-0.9, -0.8, 2.0], [1.5, 0.1, 0.45], [0.05, 1.5, -0.1], [1.0, 1.0, 0.85]))
+    return scene
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+
+
+def render_frame(
+    scene: Scene,
+    intr: Intrinsics,
+    T_wc: np.ndarray,
+    depth_scale: float = 5000.0,
+    xi_noise_sigma: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Ray-cast one frame from camera pose ``T_wc`` (camera-to-world).
+
+    Returns (rgb_u8 (H,W,3), depth_u16 (H,W), intensity_f32, depth_f32).
+    depth_f32 is the noise-free ground-truth depth in meters (0 = no hit).
+    """
+    h, w = intr.height, intr.width
+    u = np.arange(w, dtype=np.float64)[None, :].repeat(h, 0)
+    v = np.arange(h, dtype=np.float64)[:, None].repeat(w, 1)
+    # Unnormalized camera-frame ray directions with dz = 1 => hit param t == depth.
+    d_cam = np.stack([(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, np.ones_like(u)], axis=-1)
+    R, o = T_wc[:3, :3], T_wc[:3, 3]
+    d_w = d_cam @ R.T  # (H, W, 3)
+
+    depth = np.full((h, w), np.inf, np.float64)
+    gray = np.zeros((h, w), np.float32)
+    rgb = np.zeros((h, w, 3), np.float32)
+
+    for r_ in scene.rects:
+        n = r_.normal
+        denom = d_w @ n
+        # t on the infinite plane; mask out near-parallel rays.
+        t = np.where(np.abs(denom) > 1e-9, ((r_.p0 - o) @ n) / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+        valid = (t > 0.05) & np.isfinite(t)
+        p = o + d_w * t[..., None]  # world hit points
+        rel = p - r_.p0
+        uu, vv = r_.eu, r_.ev
+        # Solve rel = a*eu + b*ev in the plane (2x2 Gram system).
+        g11, g12, g22 = uu @ uu, uu @ vv, vv @ vv
+        r1, r2 = rel @ uu, rel @ vv
+        det = g11 * g22 - g12 * g12
+        a = (g22 * r1 - g12 * r2) / det
+        b = (g11 * r2 - g12 * r1) / det
+        inside = valid & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1) & (t < depth)
+        if not inside.any():
+            continue
+        tex = r_.texture
+        ts = tex.shape[0]
+        # Bilinear texture sample at (a, b).
+        ta = np.clip(a * (ts - 1), 0, ts - 1.000001)
+        tb = np.clip(b * (ts - 1), 0, ts - 1.000001)
+        ia, ib = ta.astype(np.int64), tb.astype(np.int64)
+        fa, fb = (ta - ia).astype(np.float32), (tb - ib).astype(np.float32)
+        ia1 = np.minimum(ia + 1, ts - 1)
+        ib1 = np.minimum(ib + 1, ts - 1)
+        val = (
+            tex[ib, ia] * (1 - fa) * (1 - fb)
+            + tex[ib, ia1] * fa * (1 - fb)
+            + tex[ib1, ia] * (1 - fa) * fb
+            + tex[ib1, ia1] * fa * fb
+        )
+        depth[inside] = t[inside]
+        gray[inside] = val[inside]
+        rgb[inside] = val[inside, None] * r_.tint[None, :]
+
+    hit = np.isfinite(depth)
+    depth_f32 = np.where(hit, depth, 0.0).astype(np.float32)
+    rgb_u8 = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+
+    # Sensor model: noise constant in inverse depth, then u16 quantization.
+    d = depth_f32.astype(np.float64)
+    if xi_noise_sigma > 0:
+        if rng is None:
+            rng = np.random.default_rng(0)
+        xi = np.where(hit, 1.0 / np.maximum(d, 1e-6), 0.0)
+        xi = xi + rng.normal(0.0, xi_noise_sigma, size=xi.shape) * hit
+        d = np.where(hit & (xi > 1e-3), 1.0 / np.maximum(xi, 1e-3), 0.0)
+    depth_u16 = np.clip(np.round(d * depth_scale), 0, 65535).astype(np.uint16)
+    return rgb_u8, depth_u16, gray, depth_f32
+
+
+# ---------------------------------------------------------------------------
+# Trajectories
+
+
+def orbit_trajectory(n: int, trans_amp=0.25, rot_amp=0.06, periods=1.25) -> List[np.ndarray]:
+    """Smooth exploratory motion: sinusoidal translation + small rotations.
+
+    Returns camera-to-world poses T_wc; frame 0 is the identity.
+    """
+    poses = []
+    for i in range(n):
+        s = periods * 2 * np.pi * i / max(n - 1, 1)
+        t = np.array(
+            [trans_amp * np.sin(s), 0.5 * trans_amp * np.sin(2 * s + 0.7), 0.35 * trans_amp * (1 - np.cos(s))]
+        )
+        rx = rot_amp * np.sin(s + 0.3)
+        ry = rot_amp * np.sin(0.8 * s)
+        rz = 0.4 * rot_amp * np.sin(1.3 * s + 1.1)
+        T = np.eye(4)
+        T[:3, :3] = _euler(rx, ry, rz)
+        T[:3, 3] = t
+        poses.append(T)
+    return poses
+
+
+def loopy_trajectory(n: int, radius=0.35, rot_amp=0.10) -> List[np.ndarray]:
+    """Closed-loop motion returning near the start pose (for loop closure)."""
+    poses = []
+    for i in range(n):
+        s = 2 * np.pi * i / max(n - 1, 1)
+        t = np.array([radius * np.sin(s), 0.12 * np.sin(2 * s), 0.5 * radius * (1 - np.cos(s))])
+        T = np.eye(4)
+        T[:3, :3] = _euler(0.3 * rot_amp * np.sin(2 * s), rot_amp * np.sin(s), 0.0)
+        T[:3, 3] = t
+        poses.append(T)
+    return poses
+
+
+def _euler(rx, ry, rz):
+    cx_, sx = np.cos(rx), np.sin(rx)
+    cy_, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx_, -sx], [0, sx, cx_]])
+    Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+# ---------------------------------------------------------------------------
+# Sequence
+
+
+@dataclass
+class SyntheticSequence:
+    """A rendered RGB-D sequence with ground truth (mirrors TumSequence)."""
+
+    intrinsics: Intrinsics
+    timestamps: List[float]
+    rgb: List[np.ndarray]
+    depth: List[np.ndarray]
+    gt_poses: List[np.ndarray]  # camera-to-world T_wc
+    depth_scale: float = 5000.0
+
+    def __len__(self):
+        return len(self.timestamps)
+
+    def frames(self):
+        from . import Frame
+
+        for i in range(len(self)):
+            yield Frame(self.timestamps[i], self.rgb[i], self.depth[i])
+
+
+def generate_sequence(
+    n_frames: int = 30,
+    intr: Intrinsics | None = None,
+    motion: str | Sequence[np.ndarray] = "orbit",
+    seed: int = 0,
+    xi_noise_sigma: float = 0.0,
+    fps: float = 30.0,
+    scene: Scene | None = None,
+    **motion_kwargs,
+) -> SyntheticSequence:
+    from ..core.camera import DEFAULT
+
+    intr = intr or DEFAULT
+    scene = scene or make_scene(seed)
+    if isinstance(motion, str):
+        if motion == "orbit":
+            poses = orbit_trajectory(n_frames, **motion_kwargs)
+        elif motion == "loop":
+            poses = loopy_trajectory(n_frames, **motion_kwargs)
+        elif motion == "static":
+            poses = [np.eye(4) for _ in range(n_frames)]
+        else:
+            raise ValueError(f"unknown motion {motion}")
+    else:
+        poses = list(motion)
+    rng = np.random.default_rng(seed + 1)
+    seq = SyntheticSequence(intr, [], [], [], [], 5000.0)
+    for i, T in enumerate(poses):
+        rgb, d16, _, _ = render_frame(scene, intr, T, 5000.0, xi_noise_sigma, rng)
+        seq.timestamps.append(i / fps)
+        seq.rgb.append(rgb)
+        seq.depth.append(d16)
+        seq.gt_poses.append(T)
+    return seq

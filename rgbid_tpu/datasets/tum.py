@@ -1,0 +1,119 @@
+"""TUM RGB-D benchmark sequence reader.
+
+TPU-native rebuild of the reference's dataset reader (SURVEY.md §2.1
+"Dataset reader": parses rgb.txt/depth.txt, associates timestamps by
+nearest neighbor within 20 ms, loads 8-bit RGB + 16-bit depth PNGs with
+depth scale 1/5000 m). Also parses groundtruth.txt for evaluation.
+
+The association algorithm reimplements the TUM toolkit's ``associate.py``
+greedy best-match policy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..core.camera import TUM_FR1, TUM_FR2, TUM_FR3, DEFAULT, Intrinsics
+from . import Frame
+
+
+def _read_file_list(path: str) -> List[Tuple[float, List[str]]]:
+    """Parse a TUM-style index file: lines of 'timestamp data...', '#' comments."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1:]))
+    return out
+
+
+def associate(
+    a: List[Tuple[float, List[str]]],
+    b: List[Tuple[float, List[str]]],
+    max_difference: float = 0.02,
+    offset: float = 0.0,
+) -> List[Tuple[int, int]]:
+    """Greedy timestamp association (TUM associate.py semantics):
+    sort all candidate pairs by |ta - (tb + offset)|, take greedily while
+    both sides unused.  Returns index pairs into a and b.
+    """
+    candidates = []
+    for i, (ta, _) in enumerate(a):
+        for j, (tb, _) in enumerate(b):
+            d = abs(ta - (tb + offset))
+            if d < max_difference:
+                candidates.append((d, i, j))
+    candidates.sort()
+    used_a, used_b, matches = set(), set(), []
+    for _, i, j in candidates:
+        if i not in used_a and j not in used_b:
+            used_a.add(i)
+            used_b.add(j)
+            matches.append((i, j))
+    matches.sort()
+    return matches
+
+
+def guess_intrinsics(seq_dir: str) -> Intrinsics:
+    name = os.path.basename(os.path.normpath(seq_dir))
+    if "freiburg1" in name or "fr1" in name:
+        return TUM_FR1
+    if "freiburg2" in name or "fr2" in name:
+        return TUM_FR2
+    if "freiburg3" in name or "fr3" in name:
+        return TUM_FR3
+    return DEFAULT
+
+
+class TumSequence:
+    """A TUM RGB-D sequence directory (rgb.txt, depth.txt, rgb/, depth/)."""
+
+    def __init__(
+        self,
+        seq_dir: str,
+        intrinsics: Optional[Intrinsics] = None,
+        max_difference: float = 0.02,
+        depth_scale: float = 5000.0,
+    ):
+        self.dir = seq_dir
+        self.intrinsics = intrinsics or guess_intrinsics(seq_dir)
+        self.depth_scale = depth_scale
+        rgb_list = _read_file_list(os.path.join(seq_dir, "rgb.txt"))
+        depth_list = _read_file_list(os.path.join(seq_dir, "depth.txt"))
+        matches = associate(rgb_list, depth_list, max_difference)
+        self._items = [
+            (rgb_list[i][0], rgb_list[i][1][0], depth_list[j][1][0]) for i, j in matches
+        ]
+        gt_path = os.path.join(seq_dir, "groundtruth.txt")
+        self.groundtruth: Optional[np.ndarray] = None
+        if os.path.exists(gt_path):
+            rows = _read_file_list(gt_path)
+            # (N, 8): t tx ty tz qx qy qz qw
+            self.groundtruth = np.array(
+                [[t] + [float(x) for x in data[:7]] for t, data in rows], dtype=np.float64
+            )
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __getitem__(self, idx: int) -> Frame:
+        t, rgb_rel, depth_rel = self._items[idx]
+        rgb = cv2.imread(os.path.join(self.dir, rgb_rel), cv2.IMREAD_COLOR)
+        if rgb is None:
+            raise IOError(f"cannot read {rgb_rel}")
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
+        depth = cv2.imread(os.path.join(self.dir, depth_rel), cv2.IMREAD_UNCHANGED)
+        if depth is None:
+            raise IOError(f"cannot read {depth_rel}")
+        return Frame(t, rgb, depth.astype(np.uint16))
+
+    def frames(self) -> Iterator[Frame]:
+        for i in range(len(self)):
+            yield self[i]
