@@ -24,8 +24,11 @@ class TrackingConfig:
 
     levels: int = 4
     # Gauss-Newton iterations per level, indexed by level (0 = finest).
-    # Coarse levels get more iterations, like the reference.
-    iters: Tuple[int, ...] = (3, 4, 7, 10)
+    # Coarse levels get more iterations, like the reference; the inverse-
+    # compositional tracker needs a generous coarsest budget (its template
+    # Jacobians slow convergence at large motion, and coarse iterations are
+    # ~64x cheaper than finest-level ones).
+    iters: Tuple[int, ...] = (3, 5, 8, 16)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).

@@ -1,0 +1,169 @@
+"""Inverse-compositional Gauss-Newton building blocks (K5–K7).
+
+The reference builds forward-compositional per-pixel Jacobians every
+iteration on the GPU (estimate_step.cu, SURVEY.md §2.2 K7) and reads the
+reduced 6x6 system back to the host each iteration. Here (SURVEY.md §7
+design stances 1–2):
+
+* Jacobians live on the *keyframe template* (inverse-compositional — one
+  precompute per keyframe per level, constant across iterations);
+* each iteration only gathers 2 sampled planes, evaluates residuals +
+  Student-t weights, and reduces the 6x6 normal equations — all on device;
+* the 6x6 solve and the SE(3) exponential update also run on device, so a
+  whole pyramid level (or frame) is ONE XLA program with zero host syncs.
+
+Update convention (Baker–Matthews inverse compositional):
+    J_I  =  grad(I_kf) . Jw(P)
+    J_xi =  grad(xi_kf) . Jw(P) - J_rho(P)
+    H = sum_c (w_c / sigma_c^2) J_c J_c^T,  b = sum_c (w_c / sigma_c^2) J_c r_c
+    delta = solve(H, b);   T <- T . exp(-delta)
+which is first-order equivalent to the oracle's forward-compositional
+update T <- exp(-H^{-1}b_fc) . T; both are validated to converge to the
+same pose on synthetic data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.camera import Intrinsics
+from .warp import backproject_grid, bilinear_sample, warp_points
+
+
+class TemplateJacobians(NamedTuple):
+    """Per-pixel template (keyframe) Jacobians, (H, W, 6) each."""
+
+    j_int: jax.Array
+    j_xi: jax.Array
+
+
+def warp_jacobian(x, y, z, intr: Intrinsics):
+    """Jw = d(u,v)/d delta at identity, from template points. (..., 2, 6).
+
+    Twist convention delta = [v, w] (translation first), perturbation
+    P -> P + v + w x P.
+    """
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    iz2 = iz * iz
+    zeros = jnp.zeros_like(x)
+    ju = intr.fx * jnp.stack(
+        [iz, zeros, -x * iz2, -x * y * iz2, 1.0 + x * x * iz2, -y * iz], axis=-1
+    )
+    jv = intr.fy * jnp.stack(
+        [zeros, iz, -y * iz2, -(1.0 + y * y * iz2), x * y * iz2, x * iz], axis=-1
+    )
+    return ju, jv
+
+
+def rho_jacobian(x, y, z):
+    """d(1/Z)/d delta at identity from template points, (..., 6)."""
+    iz2 = 1.0 / jnp.maximum(z, 1e-6) ** 2
+    zeros = jnp.zeros_like(x)
+    return jnp.stack([zeros, zeros, -iz2, -y * iz2, x * iz2, zeros], axis=-1)
+
+
+def template_jacobians(
+    gx_int, gy_int, gx_xi, gy_xi, xi, mask, intr: Intrinsics
+) -> TemplateJacobians:
+    """Precompute the constant IC Jacobians for one keyframe pyramid level.
+
+    Runs once per keyframe per level (vs. the reference's per-iteration
+    Jacobian rebuild) — the single biggest HBM-traffic win on TPU.
+    """
+    x, y, z = backproject_grid(xi, intr)
+    ju, jv = warp_jacobian(x, y, z, intr)
+    m = mask[..., None]
+    j_int = (gx_int[..., None] * ju + gy_int[..., None] * jv) * m
+    j_xi = (gx_xi[..., None] * ju + gy_xi[..., None] * jv - rho_jacobian(x, y, z)) * m
+    return TemplateJacobians(j_int, j_xi)
+
+
+def student_t_sigma2(r2, valid, nu: float, sigma2_init, iters: int):
+    """Masked fixed-point Student-t scale estimate (returns sigma^2)."""
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    sigma2 = sigma2_init
+    for _ in range(max(iters, 1)):
+        w = (nu + 1.0) / (nu + r2 / jnp.maximum(sigma2, 1e-12))
+        sigma2 = jnp.maximum(jnp.sum(valid * w * r2) / n, 1e-12)
+    return sigma2
+
+
+class IrlsResult(NamedTuple):
+    H: jax.Array  # (6, 6) normal matrix
+    b: jax.Array  # (6,)
+    sigma2_int: jax.Array
+    sigma2_xi: jax.Array
+    error: jax.Array  # weighted mean squared error
+    n_valid: jax.Array
+    inlier_frac: jax.Array
+
+
+def residuals_and_normal_eq(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_xi: jax.Array,
+    kf_mask: jax.Array,
+    jac: TemplateJacobians,
+    cur_int: jax.Array,
+    cur_xi: jax.Array,
+    cur_mask: jax.Array,
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    sigma_iters: int,
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+) -> IrlsResult:
+    """One IRLS evaluation: warp, sample, weight, reduce to (H, b).
+
+    Pure XLA version (K5+K6+K7). The Pallas fused kernel A' implements the
+    identical contract (tested against this function).
+    """
+    up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
+    i_s, ok_i = bilinear_sample(cur_int, None, up, vp)
+    xi_s, ok_x = bilinear_sample(cur_xi, cur_mask, up, vp)
+    valid = valid0 * ok_i * ok_x
+    r_i = (i_s - kf_int) * valid
+    r_x = (xi_s - rho) * valid
+
+    sigma2_int = student_t_sigma2(r_i * r_i, valid, nu, sigma2_int, sigma_iters)
+    sigma2_xi = student_t_sigma2(r_x * r_x, valid, nu, sigma2_xi, sigma_iters)
+    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
+    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
+
+    ji = jac.j_int.reshape(-1, 6)
+    wi = w_i.reshape(-1)
+    H = (ji * wi[:, None]).T @ ji
+    b = ji.T @ (wi * r_i.reshape(-1))
+    if use_geometric:
+        jx = jac.j_xi.reshape(-1, 6)
+        wx = w_x.reshape(-1)
+        H = H + (jx * wx[:, None]).T @ jx
+        b = b + jx.T @ (wx * r_x.reshape(-1))
+
+    n_valid = jnp.sum(valid)
+    err = (jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x)) / jnp.maximum(
+        n_valid, 1.0
+    )
+    inl = jnp.sum(
+        valid * (r_i * r_i < gate_sigmas**2 * sigma2_int)
+    ) / jnp.maximum(n_valid, 1.0)
+    return IrlsResult(H, b, sigma2_int, sigma2_xi, err, n_valid, inl)
+
+
+def ic_update(T: jax.Array, H: jax.Array, b: jax.Array, damping: float, n_valid):
+    """delta = solve(H + lambda I, b); T <- T . exp(-delta) (on device).
+
+    If too few pixels were valid, the update is suppressed (masked no-op) —
+    the fixed-shape equivalent of the reference's frame rejection.
+    """
+    Hd = H + damping * jnp.eye(6, dtype=H.dtype)
+    delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), b)
+    ok = (n_valid > 100.0) & jnp.all(jnp.isfinite(delta))
+    delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+    return T @ se3.exp(-delta), delta

@@ -1,0 +1,109 @@
+"""Image-plane ops: preprocess (K1), masked Gaussian pyramid (K3),
+gradients (K4).
+
+XLA equivalents of the reference CUDA kernels preprocess.cu / pyramid.cu /
+gradients.cu (SURVEY.md §2.2; reference mount empty, semantics from the
+RGBiD-SLAM papers). All are memory-bound elementwise/conv ops — XLA fuses
+them well, no Pallas needed (SURVEY.md §7 design stance 4).
+
+Semantics exactly mirror rgbid_tpu.reference_cpu.odometry (the numpy
+oracle); unit tests enforce <=1e-5 agreement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# K1 -----------------------------------------------------------------------
+
+
+def intensity_from_rgb(rgb_u8: jax.Array) -> jax.Array:
+    """(H, W, 3) uint8 RGB -> luma float32 in [0, 1] (BT.601)."""
+    rgb = rgb_u8.astype(jnp.float32) * (1.0 / 255.0)
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+def inverse_depth_from_u16(
+    depth_u16: jax.Array,
+    depth_scale: float = 5000.0,
+    min_depth: float = 0.3,
+    max_depth: float = 10.0,
+):
+    """(xi, mask): xi = 1/meters where valid else 0; mask float32 {0,1}."""
+    d = depth_u16.astype(jnp.float32) * (1.0 / depth_scale)
+    mask = jnp.logical_and(d > min_depth, d < max_depth)
+    xi = jnp.where(mask, 1.0 / jnp.maximum(d, 1e-6), 0.0)
+    return xi, mask.astype(jnp.float32)
+
+
+# K3 -----------------------------------------------------------------------
+
+_BINOMIAL = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+
+def _conv_sep(img: jax.Array, stride: tuple[int, int]) -> jax.Array:
+    """Separable 5-tap binomial blur (zero padding) with optional stride.
+
+    Equivalent to blur-then-subsample-at-even-indices when stride == 2.
+    """
+    x = img[None, None, :, :]
+    kv = _BINOMIAL.reshape(1, 1, 5, 1)
+    kh = _BINOMIAL.reshape(1, 1, 1, 5)
+    x = lax.conv_general_dilated(
+        x, kv, window_strides=(stride[0], 1), padding=[(2, 2), (0, 0)]
+    )
+    x = lax.conv_general_dilated(
+        x, kh, window_strides=(1, stride[1]), padding=[(0, 0), (2, 2)]
+    )
+    return x[0, 0]
+
+
+def masked_blur(img: jax.Array, mask: jax.Array, stride: tuple[int, int] = (1, 1)):
+    """Validity-renormalized blur: blur(img*m)/blur(m); returns (out, weight)."""
+    num = _conv_sep(img * mask, stride)
+    den = _conv_sep(mask, stride)
+    out = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)
+    return out, den
+
+
+def downsample(img: jax.Array, mask: jax.Array, min_weight: float = 0.25):
+    """One pyramid step: masked blur + 2x subsample (stride-2 convs)."""
+    out, wgt = masked_blur(img, mask, stride=(2, 2))
+    sub_mask = mask[::2, ::2]
+    out_mask = jnp.logical_and(wgt > min_weight, sub_mask > 0.5).astype(jnp.float32)
+    return out, out_mask
+
+
+def build_pyramid(img: jax.Array, mask: jax.Array, levels: int):
+    """Lists [L0..L_{levels-1}] of (img, mask) — mask is float32 {0,1}."""
+    imgs, masks = [img], [mask]
+    for _ in range(levels - 1):
+        i2, m2 = downsample(imgs[-1], masks[-1])
+        imgs.append(i2)
+        masks.append(m2)
+    return imgs, masks
+
+
+# K4 -----------------------------------------------------------------------
+
+
+def gradients(img: jax.Array, mask: jax.Array):
+    """(gx, gy) masked central differences (zero at invalid/borders)."""
+    zc = jnp.zeros_like(img[:, :1])
+    zr = jnp.zeros_like(img[:1, :])
+    gx = 0.5 * (
+        jnp.concatenate([img[:, 1:], zc], 1) - jnp.concatenate([zc, img[:, :-1]], 1)
+    )
+    gy = 0.5 * (
+        jnp.concatenate([img[1:, :], zr], 0) - jnp.concatenate([zr, img[:-1, :]], 0)
+    )
+    mzc = jnp.zeros_like(mask[:, :1])
+    mzr = jnp.zeros_like(mask[:1, :])
+    ok_x = jnp.concatenate([mask[:, 1:], mzc], 1) * jnp.concatenate([mzc, mask[:, :-1]], 1)
+    ok_y = jnp.concatenate([mask[1:, :], mzr], 0) * jnp.concatenate([mzr, mask[:-1, :]], 0)
+    # Zero the one-pixel border (numpy oracle leaves borders at 0).
+    ok_x = ok_x.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    ok_y = ok_y.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return gx * ok_x, gy * ok_y

@@ -1,0 +1,88 @@
+"""SE(3) warping + bilinear sampling (K5's gather half, K2's remap).
+
+The per-pixel backproject→transform→project math is pure elementwise XLA;
+the bilinear sample is an XLA 2-D advanced-index gather. Per SURVEY.md §7
+(measured: Pallas cannot lower dynamic per-pixel gather on this platform)
+sampling stays in XLA and fused Pallas kernels consume pre-gathered planes.
+
+Mirrors rgbid_tpu.reference_cpu.odometry.{warp_points,bilinear_sample}.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Intrinsics
+
+
+def pixel_grid(h: int, w: int):
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    return u, v
+
+
+def backproject_grid(xi: jax.Array, intr: Intrinsics):
+    """Per-pixel camera points (X, Y, Z) from an inverse-depth plane."""
+    h, w = xi.shape
+    u, v = pixel_grid(h, w)
+    z = 1.0 / jnp.maximum(xi, 1e-8)
+    x = (u - intr.cx) * (1.0 / intr.fx) * z
+    y = (v - intr.cy) * (1.0 / intr.fy) * z
+    return x, y, z
+
+
+def warp_points(xi_ref: jax.Array, mask_ref: jax.Array, T: jax.Array, intr: Intrinsics):
+    """Warp every reference pixel into the current frame.
+
+    Returns (u', v', rho', (X', Y', Z'), valid) with rho' = 1/Z' the
+    predicted current-frame inverse depth. valid = mask & in-front.
+    """
+    x, y, z = backproject_grid(xi_ref, intr)
+    R, t = T[:3, :3], T[:3, 3]
+    xp = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
+    yp = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
+    zp = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
+    front = (zp > 1e-6).astype(jnp.float32)
+    rho = 1.0 / jnp.maximum(zp, 1e-6)
+    up = intr.fx * xp * rho + intr.cx
+    vp = intr.fy * yp * rho + intr.cy
+    return up, vp, rho, (xp, yp, zp), mask_ref * front
+
+
+def bilinear_sample(img: jax.Array, mask: jax.Array | None, u: jax.Array, v: jax.Array):
+    """Bilinear sample at continuous (u, v); XLA gather.
+
+    valid = in-bounds, and (if mask given) all 4 corner pixels valid.
+    Returns (value, valid_f32).
+    """
+    h, w = img.shape
+    inb = (
+        (u >= 0.0) & (u <= w - 1.001) & (v >= 0.0) & (v <= h - 1.001)
+    ).astype(jnp.float32)
+    uc = jnp.clip(u, 0.0, w - 1.001)
+    vc = jnp.clip(v, 0.0, h - 1.001)
+    u0 = jnp.floor(uc).astype(jnp.int32)
+    v0 = jnp.floor(vc).astype(jnp.int32)
+    fu = uc - u0.astype(jnp.float32)
+    fv = vc - v0.astype(jnp.float32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    i00 = img[v0, u0]
+    i01 = img[v0, u1]
+    i10 = img[v1, u0]
+    i11 = img[v1, u1]
+    val = (
+        i00 * (1 - fu) * (1 - fv)
+        + i01 * fu * (1 - fv)
+        + i10 * (1 - fu) * fv
+        + i11 * fu * fv
+    )
+    ok = inb
+    if mask is not None:
+        m00 = mask[v0, u0]
+        m01 = mask[v0, u1]
+        m10 = mask[v1, u0]
+        m11 = mask[v1, u1]
+        ok = ok * m00 * m01 * m10 * m11
+    return val, ok

@@ -1,0 +1,78 @@
+"""Device-resident frame/keyframe pyramids (pytrees).
+
+Equivalent of the reference's per-frame device buffers + Keyframe struct
+device half (SURVEY.md §2.1): all pyramid planes live in HBM for the whole
+frame lifetime; only diagnostics scalars ever return to the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Intrinsics, level_intrinsics
+from ..ops import gauss_newton, image
+
+
+class FrameLevel(NamedTuple):
+    """One pyramid level of an incoming frame."""
+
+    intensity: jax.Array  # (H, W) f32 [0, 1]
+    xi: jax.Array  # (H, W) f32 inverse depth (0 where invalid)
+    mask: jax.Array  # (H, W) f32 {0, 1}
+
+
+class KeyframeLevel(NamedTuple):
+    """One pyramid level of the tracking template (active keyframe)."""
+
+    intensity: jax.Array
+    xi: jax.Array
+    mask: jax.Array
+    j_int: jax.Array  # (H, W, 6) IC photometric template Jacobian
+    j_xi: jax.Array  # (H, W, 6) IC inverse-depth template Jacobian
+
+
+def preprocess_frame(
+    rgb_u8: jax.Array,
+    depth_u16: jax.Array,
+    levels: int,
+    depth_scale: float = 5000.0,
+    min_depth: float = 0.3,
+    max_depth: float = 10.0,
+) -> Tuple[FrameLevel, ...]:
+    """K1 + K3: raw sensor planes -> intensity/inverse-depth pyramids.
+
+    Runs entirely on device from the raw u8/u16 uploads (SURVEY.md §7
+    stance 6: pack uploads raw, convert on device).
+    """
+    intensity = image.intensity_from_rgb(rgb_u8)
+    xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
+    ones = jnp.ones_like(intensity)
+    ints, _ = image.build_pyramid(intensity, ones, levels)
+    xis, masks = image.build_pyramid(xi, mask, levels)
+    return tuple(
+        FrameLevel(ints[l], xis[l], masks[l]) for l in range(levels)
+    )
+
+
+def keyframe_pyramid(
+    frame: Tuple[FrameLevel, ...], intr: Intrinsics
+) -> Tuple[KeyframeLevel, ...]:
+    """Promote a frame pyramid to a tracking template: gradients + IC
+    Jacobians per level (runs once per keyframe; K4 + Jacobian precompute).
+    """
+    out = []
+    for l, lev in enumerate(frame):
+        intr_l = level_intrinsics(intr, l)
+        ones = jnp.ones_like(lev.mask)
+        gx_i, gy_i = image.gradients(lev.intensity, ones)
+        gx_x, gy_x = image.gradients(lev.xi, lev.mask)
+        jac = gauss_newton.template_jacobians(
+            gx_i, gy_i, gx_x, gy_x, lev.xi, lev.mask, intr_l
+        )
+        out.append(
+            KeyframeLevel(lev.intensity, lev.xi, lev.mask, jac.j_int, jac.j_xi)
+        )
+    return tuple(out)

@@ -1,0 +1,132 @@
+"""Device XLA ops vs. the numpy CPU oracle (<=1e-5 agreement).
+
+SURVEY.md §4 consequence (1): every kernel K1-K7 is checked against its
+numpy reference implementation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics, level_intrinsics
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.ops import gauss_newton, image, warp
+from rgbid_tpu.reference_cpu import odometry as odo
+from rgbid_tpu.reference_cpu import se3_np
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    scene = synthetic.make_scene(0)
+    return synthetic.render_frame(scene, INTR, np.eye(4))
+
+
+@pytest.fixture(scope="module")
+def planes(frame):
+    rgb, d16, _, _ = frame
+    intensity = odo.intensity_from_rgb(rgb)
+    xi, mask = odo.inverse_depth_from_u16(d16)
+    # punch some invalid holes to exercise masking
+    mask = mask.copy()
+    mask[40:60, 50:90] = False
+    xi = np.where(mask, xi, 0.0)
+    return intensity, xi, mask
+
+
+def test_intensity_matches(frame):
+    rgb = frame[0]
+    ref = odo.intensity_from_rgb(rgb)
+    dev = np.asarray(image.intensity_from_rgb(jnp.asarray(rgb)))
+    np.testing.assert_allclose(dev, ref, atol=1e-6)
+
+
+def test_inverse_depth_matches(frame):
+    d16 = frame[1]
+    ref_xi, ref_m = odo.inverse_depth_from_u16(d16)
+    dev_xi, dev_m = image.inverse_depth_from_u16(jnp.asarray(d16))
+    np.testing.assert_allclose(np.asarray(dev_xi), ref_xi, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev_m) > 0.5, ref_m)
+
+
+def test_masked_blur_and_downsample_match(planes):
+    intensity, xi, mask = planes
+    ref_img, ref_mask = odo.downsample(xi, mask)
+    dev_img, dev_mask = image.downsample(jnp.asarray(xi), jnp.asarray(mask, jnp.float32))
+    np.testing.assert_allclose(np.asarray(dev_img), ref_img, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dev_mask) > 0.5, ref_mask)
+
+
+def test_pyramid_matches(planes):
+    intensity, xi, mask = planes
+    ref_imgs, ref_masks = odo.build_pyramid(xi, mask, 3)
+    dev_imgs, dev_masks = image.build_pyramid(
+        jnp.asarray(xi), jnp.asarray(mask, jnp.float32), 3
+    )
+    for l in range(3):
+        np.testing.assert_allclose(np.asarray(dev_imgs[l]), ref_imgs[l], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(dev_masks[l]) > 0.5, ref_masks[l])
+
+
+def test_gradients_match(planes):
+    intensity, xi, mask = planes
+    ref_gx, ref_gy = odo.gradients(xi, mask)
+    dev_gx, dev_gy = image.gradients(jnp.asarray(xi), jnp.asarray(mask, jnp.float32))
+    np.testing.assert_allclose(np.asarray(dev_gx), ref_gx, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev_gy), ref_gy, atol=1e-6)
+
+
+def test_warp_points_match(planes):
+    _, xi, mask = planes
+    T = se3_np.exp(np.array([0.03, -0.02, 0.05, 0.02, -0.01, 0.015]))
+    ref_u, ref_v, ref_rho, _, ref_valid = odo.warp_points(xi, mask, T, INTR)
+    du, dv, drho, _, dvalid = warp.warp_points(
+        jnp.asarray(xi), jnp.asarray(mask, jnp.float32), jnp.asarray(T, jnp.float32), INTR
+    )
+    m = ref_valid
+    np.testing.assert_allclose(np.asarray(du)[m], ref_u[m], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv)[m], ref_v[m], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(drho)[m], ref_rho[m], atol=1e-5)
+    np.testing.assert_array_equal((np.asarray(dvalid) > 0.5), ref_valid)
+
+
+def test_bilinear_sample_matches(planes):
+    intensity, xi, mask = planes
+    rng = np.random.default_rng(0)
+    u = rng.uniform(-5, INTR.width + 5, size=(100, 120)).astype(np.float32)
+    v = rng.uniform(-5, INTR.height + 5, size=(100, 120)).astype(np.float32)
+    ref_val, ref_ok = odo.bilinear_sample(xi, mask, u, v)
+    dev_val, dev_ok = warp.bilinear_sample(
+        jnp.asarray(xi), jnp.asarray(mask, jnp.float32), jnp.asarray(u), jnp.asarray(v)
+    )
+    ok = ref_ok
+    np.testing.assert_array_equal(np.asarray(dev_ok) > 0.5, ref_ok)
+    np.testing.assert_allclose(np.asarray(dev_val)[ok], ref_val[ok], atol=1e-5)
+
+
+def test_warp_jacobian_matches_oracle():
+    x = np.array([[0.3, -0.5]], np.float32)
+    y = np.array([[-0.2, 0.4]], np.float32)
+    z = np.array([[2.0, 3.5]], np.float32)
+    intr = level_intrinsics(INTR, 1)
+    ju, jv = gauss_newton.warp_jacobian(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z), intr)
+    P = np.stack([x, y, z], axis=-1)
+    Jpi = odo._projection_jacobian(P, intr)
+    Jp = odo._se3_point_jacobian(P)
+    Jw = np.einsum("hwij,hwjk->hwik", Jpi, Jp)
+    np.testing.assert_allclose(np.asarray(ju), Jw[..., 0, :], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jv), Jw[..., 1, :], rtol=1e-5, atol=1e-6)
+    jr = gauss_newton.rho_jacobian(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(jr), odo._rho_jacobian(P), rtol=1e-5, atol=1e-7)
+
+
+def test_student_t_sigma2_matches_oracle():
+    rng = np.random.default_rng(1)
+    r = (rng.standard_t(df=5, size=5000) * 0.05).astype(np.float32)
+    valid = (rng.uniform(size=5000) > 0.2).astype(np.float32)
+    ref = odo.student_t_sigma(r * (valid > 0), valid > 0, 5.0, 0.1, iters=3)
+    dev = gauss_newton.student_t_sigma2(
+        jnp.asarray(r * valid) ** 2, jnp.asarray(valid), 5.0, jnp.asarray(0.01), 3
+    )
+    assert np.sqrt(float(dev)) == pytest.approx(ref, rel=1e-4)

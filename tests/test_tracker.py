@@ -1,0 +1,102 @@
+"""On-device inverse-compositional tracker vs. ground truth and CPU oracle.
+
+BASELINE.json config 2: pyramid Gauss-Newton tracking.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import TrackingConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.reference_cpu import odometry as odo
+from rgbid_tpu.reference_cpu import se3_np
+from rgbid_tpu.tracking import Tracker, keyframe_pyramid, preprocess_frame
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+CFG = TrackingConfig(levels=3, iters=(4, 8, 16))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(0)
+
+
+@pytest.fixture(scope="module")
+def pair(scene):
+    T0 = np.eye(4)
+    T1 = synthetic.orbit_trajectory(40, trans_amp=0.25, rot_amp=0.06)[2]
+    f0 = synthetic.render_frame(scene, INTR, T0)
+    f1 = synthetic.render_frame(scene, INTR, T1)
+    return f0, f1, T0, T1
+
+
+def _dev_pyr(frame):
+    rgb, d16, _, _ = frame
+    return preprocess_frame(jnp.asarray(rgb), jnp.asarray(d16), CFG.levels)
+
+
+def test_track_identity(pair):
+    f0 = pair[0]
+    pyr = _dev_pyr(f0)
+    kf = keyframe_pyramid(pyr, INTR)
+    tracker = Tracker(INTR, CFG)
+    res = tracker.track(kf, pyr, jnp.eye(4))
+    d = se3_np.log(np.asarray(res.T, np.float64))
+    assert np.linalg.norm(d) < 1e-4
+    assert float(res.overlap) > 0.9
+    assert np.all(np.asarray(res.n_valid) > 100)
+
+
+def test_track_recovers_known_motion(pair):
+    f0, f1, T0, T1 = pair
+    T_gt = np.linalg.inv(T1) @ T0
+    kf = keyframe_pyramid(_dev_pyr(f0), INTR)
+    tracker = Tracker(INTR, CFG)
+    res = tracker.track(kf, _dev_pyr(f1), jnp.eye(4))
+    err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+    assert np.linalg.norm(err[:3]) < 3e-3
+    assert np.linalg.norm(err[3:]) < 3e-3
+
+
+def test_device_matches_cpu_reference(pair):
+    """IC device tracker and FC numpy oracle converge to the same pose."""
+    f0, f1, _, _ = pair
+    kf = keyframe_pyramid(_dev_pyr(f0), INTR)
+    tracker = Tracker(INTR, CFG)
+    res = tracker.track(kf, _dev_pyr(f1), jnp.eye(4))
+
+    T_cpu, _, _ = odo.track(
+        odo.preprocess_frame(f0[0], f0[1], CFG.levels),
+        odo.preprocess_frame(f1[0], f1[1], CFG.levels),
+        INTR,
+        CFG,
+    )
+    err = se3_np.log(se3_np.inv(T_cpu) @ np.asarray(res.T, np.float64))
+    assert np.linalg.norm(err) < 2e-3
+
+
+def test_track_from_motion_prior(pair):
+    f0, f1, T0, T1 = pair
+    T_gt = np.linalg.inv(T1) @ T0
+    T_init = se3_np.exp(np.array([0.02, -0.015, 0.01, 0.01, -0.008, 0.012])) @ T_gt
+    kf = keyframe_pyramid(_dev_pyr(f0), INTR)
+    tracker = Tracker(INTR, CFG)
+    res = tracker.track(kf, _dev_pyr(f1), jnp.asarray(T_init, jnp.float32))
+    err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+    assert np.linalg.norm(err) < 3e-3
+
+
+def test_diagnostics_shapes(pair):
+    f0 = pair[0]
+    pyr = _dev_pyr(f0)
+    kf = keyframe_pyramid(pyr, INTR)
+    res = Tracker(INTR, CFG).track(kf, pyr, jnp.eye(4))
+    assert res.errors.shape == (3,)
+    assert res.H.shape == (6, 6)
+    assert np.all(np.isfinite(np.asarray(res.errors)))
+    # H must be symmetric PSD (information matrix).
+    H = np.asarray(res.H, np.float64)
+    np.testing.assert_allclose(H, H.T, rtol=1e-4)
+    assert np.all(np.linalg.eigvalsh(H) > -1e-3)
