@@ -67,15 +67,29 @@ class KeyframeConfig:
 class FusionConfig:
     """Inverse-depth fusion + uncertainty propagation (SURVEY.md §3.4)."""
 
+    # Master switch: when False the keyframe map is never refined (pure
+    # frame-to-keyframe odometry, first-observation depth).
+    enabled: bool = True
     # Sensor noise model: std of inverse depth measurements (approximately
     # constant over range for structured-light sensors — the paper's key
     # observation motivating the inverse-depth parametrization).
     sensor_sigma_xi: float = 0.008
     # Occlusion / dynamic-object gate in combined sigmas.
     gate_k: float = 2.0
-    # Variance floor/ceiling to keep the Kalman update well conditioned.
-    min_variance: float = 1e-8
+    # Variance floor/ceiling. The floor is a PROCESS-NOISE floor, not a
+    # numerical epsilon: per-pixel observations fused across frames share
+    # correlated error (pose drift), so letting the Kalman variance fall to
+    # sigma^2/n makes the keyframe overconfident, the gate then rejects
+    # everything, and tracking drifts against a frozen biased template.
+    # floor = (0.003 1/m)^2 caps the claimed accuracy at ~sqrt(n)=2.7x the
+    # sensor sigma.
+    min_variance: float = 9e-6
     max_variance: float = 1.0
+    # Extra pose-uncertainty inflation applied to the tracker covariance
+    # before propagating it into observation variance (the IRLS covariance
+    # assumes independent pixels and is far too confident).
+    pose_trans_sigma: float = 0.003  # meters
+    pose_rot_sigma: float = 0.002  # radians
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,26 @@ def identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
 
 
+def orthonormalize(T: jax.Array, iters: int = 2) -> jax.Array:
+    """Project the rotation block back onto SO(3) (Newton polar iteration).
+
+    Repeated float32 pose composition (dozens of exp-map composes per
+    frame) drifts R off the manifold multiplicatively; because subsequent
+    updates only COMPOSE rigid factors, a non-rigid defect can never be
+    corrected by the optimizer and compounds frame over frame into
+    exponential trajectory divergence. Cheap branch-free fix, run once per
+    GN update: R <- R (3 I - R^T R) / 2, quadratically convergent to the
+    polar factor for near-orthonormal R.
+    """
+    R = T[:3, :3]
+    eye3 = jnp.eye(3, dtype=T.dtype)
+    for _ in range(iters):
+        R = R @ (1.5 * eye3 - 0.5 * (R.T @ R))
+    top = jnp.concatenate([R, T[:3, 3][:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=T.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
     top = jnp.concatenate([R, t[:, None]], axis=1)
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=R.dtype)

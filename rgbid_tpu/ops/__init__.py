@@ -8,4 +8,7 @@ J^T W r reduction, and inverse-depth fusion) are fused — first as pure XLA
 (oracle-validated), then as Pallas mega-kernels.
 """
 
+from .. import _precision  # noqa: F401  (forces f32 matmul precision)
+
+
 from . import gauss_newton, image, warp  # noqa: F401

@@ -136,17 +136,20 @@ def residuals_and_normal_eq(
     w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
     w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
 
+    n_valid = jnp.sum(valid)
+    # Normalize the normal equations by the pixel count: delta is unchanged
+    # but H entries stay O(1/sigma^2) instead of O(n/sigma^2) ~ 1e12, which
+    # keeps the f32 Cholesky well-conditioned on TPU.
+    inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
     ji = jac.j_int.reshape(-1, 6)
-    wi = w_i.reshape(-1)
+    wi = w_i.reshape(-1) * inv_n
     H = (ji * wi[:, None]).T @ ji
     b = ji.T @ (wi * r_i.reshape(-1))
     if use_geometric:
         jx = jac.j_xi.reshape(-1, 6)
-        wx = w_x.reshape(-1)
+        wx = w_x.reshape(-1) * inv_n
         H = H + (jx * wx[:, None]).T @ jx
         b = b + jx.T @ (wx * r_x.reshape(-1))
-
-    n_valid = jnp.sum(valid)
     err = (jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x)) / jnp.maximum(
         n_valid, 1.0
     )
@@ -166,4 +169,6 @@ def ic_update(T: jax.Array, H: jax.Array, b: jax.Array, damping: float, n_valid)
     delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), b)
     ok = (n_valid > 100.0) & jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, jnp.zeros_like(delta))
-    return T @ se3.exp(-delta), delta
+    # Re-project onto SE(3): fp32 compose chains drift R off SO(3), and a
+    # non-rigid defect is invisible to the rigid optimizer (see se3.py).
+    return se3.orthonormalize(T @ se3.exp(-delta)), delta

@@ -54,6 +54,19 @@ def log(T: np.ndarray) -> np.ndarray:
     return np.concatenate([V_inv @ t, w])
 
 
+def orthonormalize(T: np.ndarray) -> np.ndarray:
+    """Project R onto SO(3) by SVD (host-side pose hygiene; see the JAX
+    twin in core.se3 for why this is load-bearing)."""
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1.0
+    out = np.eye(4)
+    out[:3, :3] = U @ S @ Vt
+    out[:3, 3] = T[:3, 3]
+    return out
+
+
 def inv(T: np.ndarray) -> np.ndarray:
     out = np.eye(4)
     out[:3, :3] = T[:3, :3].T

@@ -1,0 +1,203 @@
+"""SlamSystem: the public API (feed RGB-D frames -> poses + keyframe map).
+
+Mirrors the reference's SlamSystem/app layer (SURVEY.md §3.1-3.3): a
+device front end (fused per-frame program: track + fuse/switch) driven
+from the host, a KeyframeManager for lifecycle, and a back-end thread
+(loop closure + pose graph) consuming finalized keyframes.
+
+Thread layout matches the reference's two-thread split: the front end owns
+the device; the back end is a host thread (OpenCV ORB + BoW + scipy pose
+graph) that requests batched relocalization scoring from the device via
+the front-end thread's queue (device work stays on one thread).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.camera import Intrinsics
+from .core.config import SlamConfig
+from .mapping.export import assemble_map, write_ply, write_tum_trajectory
+from .mapping.keyframe import DeviceKeyframe, Keyframe
+from .mapping.manager import KeyframeManager
+from .reference_cpu import se3_np
+from .tracking.step import ProcessFrame, StepResult
+
+
+class SlamSystem:
+    """Dense RGB-D SLAM on TPU.
+
+    Usage:
+        slam = SlamSystem(intrinsics, config)
+        for rgb, depth, t in frames:
+            T_wc = slam.process_frame(rgb, depth, t)
+        slam.finish()
+        slam.save_trajectory("traj.txt"); slam.save_map("map.ply")
+    """
+
+    def __init__(self, intr: Intrinsics, config: Optional[SlamConfig] = None):
+        self.intr = intr
+        self.config = config or SlamConfig()
+        self._step = ProcessFrame(intr, self.config)
+        self.manager = KeyframeManager(
+            intr, reloc_level=self.config.backend.reloc_level
+        )
+        self._kf_state: Optional[DeviceKeyframe] = None
+        self._T_ck = np.eye(4)  # last tracked pose vs active keyframe
+        self._T_wc_prev = np.eye(4)
+        self._delta = np.eye(4)  # constant-velocity motion model (body frame)
+        self._trajectory: List[Tuple[float, np.ndarray]] = []
+        self._frame_count = 0
+        self._lost_count = 0
+        self.stats: List[dict] = []
+
+        # Back end (loop closure + pose graph), optional.
+        self.backend = None
+        if self.config.backend.enabled:
+            from .backend.loop_closure import BackendThread
+
+            self.backend = BackendThread(self)
+
+    # ------------------------------------------------------------------
+    @property
+    def T_wk(self) -> np.ndarray:
+        return self.manager.active.T_wk
+
+    def process_frame(
+        self, rgb_u8: np.ndarray, depth_u16: np.ndarray, timestamp: float
+    ) -> np.ndarray:
+        """Track one frame; returns the world camera pose T_wc (4x4)."""
+        rgb_d = jnp.asarray(rgb_u8)
+        depth_d = jnp.asarray(depth_u16)
+
+        if self._kf_state is None:
+            # Bootstrap: first frame becomes keyframe 0 at the origin.
+            self._kf_state = self._step.init_keyframe(rgb_d, depth_d)
+            self.manager.new_keyframe(timestamp, np.eye(4))
+            self._T_ck = np.eye(4)
+            T_wc = np.eye(4)
+            self._record(timestamp, T_wc, None)
+            return T_wc
+
+        T_init = se3_np.inv(self._delta) @ self._T_ck
+        res, kf2 = self._step(
+            rgb_d, depth_d, self._kf_state, jnp.asarray(T_init, jnp.float32)
+        )
+        res_np = StepResult(*[np.asarray(x) for x in res])
+
+        lost = bool(res_np.lost > 0.5)
+        switch = bool(res_np.switch > 0.5)
+        if lost:
+            # Reference behavior: reject the frame, coast on the motion
+            # prior; the device step already left the keyframe untouched.
+            # Coast exactly one prediction step, then HOLD (reset the
+            # velocity) — extrapolating the model through consecutive lost
+            # frames compounds exponentially.
+            self._lost_count += 1
+            self._T_ck = T_init if self._lost_count == 1 else self._T_ck
+            self._delta = np.eye(4)
+            T_wc = self.T_wk @ se3_np.inv(self._T_ck)
+        else:
+            self._lost_count = 0
+            T_ck = se3_np.orthonormalize(res_np.T.astype(np.float64))
+            T_wc = self.T_wk @ se3_np.inv(T_ck)
+            if switch:
+                self._on_keyframe_switch(timestamp, T_ck, T_wc, res_np)
+                self._T_ck = np.eye(4)
+            else:
+                self._T_ck = T_ck
+            self._kf_state = kf2
+
+        # Constant-velocity model from consecutive world poses (held at
+        # identity while tracking is lost — see the lost branch above).
+        if not lost:
+            self._delta = se3_np.inv(self._T_wc_prev) @ T_wc
+        self._T_wc_prev = T_wc
+        self._record(timestamp, T_wc, res_np)
+        return T_wc
+
+    def _on_keyframe_switch(
+        self, timestamp: float, T_ck: np.ndarray, T_wc: np.ndarray, res: StepResult
+    ) -> None:
+        old = self.manager.active
+        # Finalize the retiring keyframe from its last fused device state.
+        self.manager.finalize(old, self._kf_state)
+        new = self.manager.new_keyframe(timestamp, T_wc)
+        # Odometry edge old->new: T_{old<-new} = inv(T_ck).
+        info = np.linalg.pinv(res.cov.astype(np.float64) + 1e-12 * np.eye(6))
+        self.manager.add_odometry_edge(
+            old.kf_id, new.kf_id, se3_np.inv(T_ck), info
+        )
+        if self.backend is not None:
+            self.backend.submit(old)
+
+    def _record(self, timestamp, T_wc, res: Optional[StepResult]):
+        self._trajectory.append((timestamp, T_wc.copy()))
+        rec = {
+            "frame": self._frame_count,
+            "t": timestamp,
+            "kf_id": self.manager.active.kf_id,
+        }
+        if res is not None:
+            rec.update(
+                overlap=float(res.overlap),
+                inliers=float(res.inlier_frac[0]),
+                error=float(res.errors[0]),
+                n_fused=float(res.n_fused),
+                lost=bool(res.lost > 0.5),
+                switch=bool(res.switch > 0.5),
+            )
+        self.stats.append(rec)
+        self._frame_count += 1
+
+    # ------------------------------------------------------------------
+    def finish(self) -> None:
+        """Finalize the active keyframe and drain the back end."""
+        if self._kf_state is not None and self.manager.active.cloud is None:
+            self.manager.finalize(self.manager.active, self._kf_state)
+        if self.backend is not None:
+            self.backend.submit(self.manager.active)
+            self.backend.finish()
+            self._apply_pose_updates()
+
+    def _apply_pose_updates(self):
+        """Pull optimized keyframe poses from the back end (if any) and
+        rebase the trajectory: each frame's pose moves with its keyframe."""
+        if self.backend is None:
+            return
+        updates = self.backend.optimized_poses()
+        if not updates:
+            return
+        old_poses = {kf.kf_id: kf.T_wk.copy() for kf in self.manager.keyframes}
+        for kf_id, T_new in updates.items():
+            self.manager.keyframes[kf_id].T_wk = T_new
+        # Rebase trajectory records through per-frame keyframe association.
+        for i, rec in enumerate(self.stats):
+            kf_id = rec["kf_id"]
+            if kf_id in updates:
+                t, T_wc = self._trajectory[i]
+                correction = updates[kf_id] @ np.linalg.inv(old_poses[kf_id])
+                self._trajectory[i] = (t, correction @ T_wc)
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        return list(self._trajectory)
+
+    def poses(self) -> List[np.ndarray]:
+        return [T for _, T in self._trajectory]
+
+    def map_points(self, voxel: float = 0.0) -> np.ndarray:
+        clouds = [kf.cloud for kf in self.manager.keyframes]
+        poses = [kf.T_wk for kf in self.manager.keyframes]
+        return assemble_map(clouds, poses, voxel)
+
+    def save_trajectory(self, path: str) -> None:
+        write_tum_trajectory(path, self._trajectory)
+
+    def save_map(self, path: str, voxel: float = 0.0) -> None:
+        write_ply(path, self.map_points(voxel))

@@ -1,0 +1,149 @@
+"""Inverse-depth fusion (K8+K9): device vs oracle + statistical properties.
+
+BASELINE.json config 3: keyframe creation + inverse-depth fusion with
+uncertainty weighting.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import FusionConfig, TrackingConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.mapping import create_device_keyframe, fusion, rebuild_after_fusion
+from rgbid_tpu.mapping.fusion import fuse_inverse_depth
+from rgbid_tpu.reference_cpu import fusion as fusion_ref
+from rgbid_tpu.reference_cpu import odometry as odo
+from rgbid_tpu.reference_cpu import se3_np
+from rgbid_tpu.tracking import preprocess_frame
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+FCFG = FusionConfig()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = synthetic.make_scene(0)
+    T0 = np.eye(4)
+    T1 = synthetic.orbit_trajectory(40, trans_amp=0.15, rot_amp=0.04)[2]
+    rng = np.random.default_rng(7)
+    f0 = synthetic.render_frame(scene, INTR, T0, xi_noise_sigma=0.005, rng=rng)
+    f1 = synthetic.render_frame(scene, INTR, T1, xi_noise_sigma=0.005, rng=rng)
+    _, _, _, gt_depth0 = synthetic.render_frame(scene, INTR, T0)
+    T_ck = np.linalg.inv(T1) @ T0
+    return f0, f1, T_ck, gt_depth0
+
+
+def _planes(frame):
+    xi, mask = odo.inverse_depth_from_u16(frame[1])
+    return xi, mask
+
+
+def test_device_matches_oracle(setup):
+    f0, f1, T_ck, _ = setup
+    kf_xi, kf_mask = _planes(f0)
+    cur_xi, cur_mask = _planes(f1)
+    kf_var = np.full_like(kf_xi, FCFG.sensor_sigma_xi**2)
+    cov = np.diag([1e-6, 1e-6, 1e-6, 1e-7, 1e-7, 1e-7])
+
+    r_xi, r_var, r_mask, r_n = fusion_ref.fuse(
+        kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, cov, INTR, FCFG
+    )
+    d_xi, d_var, d_mask, d_n = fuse_inverse_depth(
+        jnp.asarray(kf_xi),
+        jnp.asarray(kf_var),
+        jnp.asarray(kf_mask, jnp.float32),
+        jnp.asarray(cur_xi),
+        jnp.asarray(cur_mask, jnp.float32),
+        jnp.asarray(T_ck, jnp.float32),
+        jnp.asarray(cov, jnp.float32),
+        INTR,
+        FCFG,
+    )
+    # Gate decisions at the threshold boundary may differ by float precision;
+    # compare values where both agree the pixel was fused, and demand the
+    # fused-pixel sets agree to >99.9%.
+    changed_ref = r_xi != kf_xi
+    changed_dev = np.asarray(d_xi) != kf_xi
+    agree = changed_ref == changed_dev
+    assert agree.mean() > 0.999
+    both = changed_ref & changed_dev
+    np.testing.assert_allclose(np.asarray(d_xi)[both], r_xi[both], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(d_var)[both], r_var[both], rtol=2e-2, atol=1e-9)
+    assert abs(float(d_n) - r_n) / max(r_n, 1) < 2e-3
+
+
+def test_variance_decreases_and_xi_improves(setup):
+    """Fusing repeated noisy observations must shrink variance and pull the
+    inverse-depth map toward ground truth (Kalman consistency)."""
+    f0, f1, T_ck, gt_depth0 = setup
+    scene = synthetic.make_scene(0)
+    kf_xi, kf_mask = _planes(f0)
+    kf_var = np.full_like(kf_xi, FCFG.sensor_sigma_xi**2)
+    gt_xi = np.where(gt_depth0 > 0, 1.0 / np.maximum(gt_depth0, 1e-6), 0.0)
+
+    err0 = np.abs((kf_xi - gt_xi)[kf_mask]).mean()
+    rng = np.random.default_rng(11)
+    poses = synthetic.orbit_trajectory(40, trans_amp=0.15, rot_amp=0.04)
+    var_prev = kf_var.copy()
+    for k in [4, 6, 8]:
+        fk = synthetic.render_frame(scene, INTR, poses[k], xi_noise_sigma=0.005, rng=rng)
+        cur_xi, cur_mask = _planes(fk)
+        T = np.linalg.inv(poses[k]) @ np.eye(4)
+        kf_xi, kf_var, kf_mask, n = fusion_ref.fuse(
+            kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T, np.zeros((6, 6)), INTR, FCFG
+        )
+        assert n > 0.5 * kf_mask.sum()
+        assert np.all(kf_var <= var_prev + 1e-12)
+        var_prev = kf_var.copy()
+    err1 = np.abs((kf_xi - gt_xi)[kf_mask]).mean()
+    assert err1 < 0.8 * err0  # denoising works
+
+
+def test_occlusion_gate_rejects_outliers(setup):
+    f0, _, _, _ = setup
+    kf_xi, kf_mask = _planes(f0)
+    kf_var = np.full_like(kf_xi, FCFG.sensor_sigma_xi**2)
+    #
+
+    # A fake current frame whose depth is wildly different (e.g. an object
+    # appeared): identity pose, xi scaled by 2 -> all residuals huge.
+    cur_xi = kf_xi * 2.0
+    xi_new, var_new, _, n = fusion_ref.fuse(
+        kf_xi, kf_var, kf_mask, cur_xi, kf_mask, np.eye(4), np.zeros((6, 6)), INTR, FCFG
+    )
+    assert n < 0.01 * kf_mask.sum()  # nearly everything gated out
+    np.testing.assert_allclose(xi_new, kf_xi)  # map untouched
+
+
+def test_pose_uncertainty_inflates_obs_variance(setup):
+    f0, f1, T_ck, _ = setup
+    kf_xi, kf_mask = _planes(f0)
+    cur_xi, cur_mask = _planes(f1)
+    kf_var = np.full_like(kf_xi, FCFG.sensor_sigma_xi**2)
+    _, var_certain, _, _ = fusion_ref.fuse(
+        kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, np.zeros((6, 6)), INTR, FCFG
+    )
+    big_cov = np.diag([1e-4, 1e-4, 1e-4, 1e-5, 1e-5, 1e-5])
+    _, var_uncertain, _, _ = fusion_ref.fuse(
+        kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, big_cov, INTR, FCFG
+    )
+    # With an uncertain pose, posterior variance must not shrink as much.
+    assert var_uncertain.mean() >= var_certain.mean()
+
+
+def test_create_and_rebuild_device_keyframe(setup):
+    f0, f1, T_ck, _ = setup
+    pyr = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3)
+    kf = create_device_keyframe(pyr, INTR, FCFG)
+    assert kf.var.shape == (240, 320)
+    assert len(kf.levels) == 3
+    # Rebuild with the (unchanged) level-0 planes: template must be identical.
+    kf2 = rebuild_after_fusion(kf, kf.levels[0].xi, kf.var, kf.levels[0].mask, INTR)
+    np.testing.assert_allclose(
+        np.asarray(kf2.levels[1].xi), np.asarray(kf.levels[1].xi), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf2.levels[0].j_int), np.asarray(kf.levels[0].j_int), atol=1e-6
+    )
