@@ -1,0 +1,179 @@
+"""Loop-closure pipeline + the back-end thread (SURVEY.md §3.3).
+
+Per finalized keyframe: ORB features -> BoW query (temporal-gated) ->
+vmap-batched dense verification on device -> accepted loops become robust
+pose-graph edges -> pose-graph optimization -> corrected poses published
+back to the front end (which rebases keyframe poses under a lock).
+
+Threading mirrors the reference's two-thread front/back split. JAX
+dispatch is thread-safe; the batched verification program is the only
+device work this thread issues (a few dispatches per keyframe event).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.config import SlamConfig
+from ..mapping.keyframe import Keyframe
+from ..reference_cpu import se3_np
+from .features import extract_orb
+from .place_recognition import BowDatabase
+from .pose_graph import PoseGraph
+from .relocalization import RelocScorer
+
+
+class LoopCloser:
+    """Detect + verify loop closures for a stream of finalized keyframes."""
+
+    def __init__(self, intr, cfg: SlamConfig):
+        self.cfg = cfg
+        b = cfg.backend
+        self.db = BowDatabase(
+            max_words=b.vocab_branching**b.vocab_levels,
+            min_score=b.min_score,
+            min_gap=b.min_keyframe_gap,
+            max_candidates=b.max_candidates,
+        )
+        self.scorer = RelocScorer(intr, cfg)
+        self.n_queries = 0
+        self.n_candidates = 0
+        self.n_accepted = 0
+
+    def process_keyframe(
+        self, kf: Keyframe, keyframes: List[Keyframe]
+    ) -> List[dict]:
+        """Returns accepted loop edges:
+        {from_id, to_id, T_rel (T_{from<-to}), information}."""
+        planes = kf.reloc_planes
+        if planes is None:
+            return []
+        pts, desc = extract_orb(planes["intensity0_u8"], self.cfg.backend.num_features)
+        kf.keypoints, kf.descriptors = pts, desc
+
+        candidates = self.db.query(kf.kf_id, desc)
+        self.db.insert(kf.kf_id, desc)
+        self.n_queries += 1
+        if not candidates:
+            return []
+        self.n_candidates += len(candidates)
+
+        templates, currents, cand_ids = [], [], []
+        for cid, _score in candidates:
+            cand = keyframes[cid]
+            if cand.reloc_planes is None:
+                continue
+            templates.append(cand.reloc_planes)
+            currents.append(planes)
+            cand_ids.append(cid)
+        if not templates:
+            return []
+
+        res = self.scorer.score_pairs(templates, currents)
+        edges = []
+        for i, cid in enumerate(cand_ids):
+            if not self.scorer.accept(res, i):
+                continue
+            # Scorer returns T_{query<-candidate}; the edge stores
+            # T_rel = T_{from<-to} with from=candidate (old), to=query.
+            T_qc = se3_np.orthonormalize(np.asarray(res.T[i], np.float64))
+            H = np.asarray(res.H[i], np.float64) * float(res.n_valid[i])
+            info = 0.5 * (H + H.T)
+            edges.append(
+                {
+                    "from_id": cid,
+                    "to_id": kf.kf_id,
+                    "T_rel": se3_np.inv(T_qc),
+                    "information": info,
+                }
+            )
+            self.n_accepted += 1
+        return edges
+
+
+class BackendThread:
+    """The reference's back-end thread: consume keyframes, close loops,
+    optimize the pose graph, publish corrected poses."""
+
+    def __init__(self, system):
+        self.system = system
+        self.cfg: SlamConfig = system.config
+        self.loop_closer = LoopCloser(system.intr, self.cfg)
+        self.pg = PoseGraph(self.cfg.backend.pg_iterations, self.cfg.backend.pg_damping)
+        self._queue: "queue.Queue[Optional[Keyframe]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._optimized: Dict[int, np.ndarray] = {}
+        self._loop_edges: List[dict] = []
+        self._processed = set()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="slam-backend")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, kf: Keyframe) -> None:
+        if kf.kf_id not in self._processed:
+            self._processed.add(kf.kf_id)
+            self._queue.put(kf)
+
+    def finish(self) -> None:
+        """Drain the queue, then run a final optimization."""
+        self._queue.put(None)
+        self._thread.join(timeout=600.0)
+        self._final_optimize()
+
+    def has_updates(self) -> bool:
+        with self._lock:
+            return bool(self._optimized)
+
+    def optimized_poses(self) -> Dict[int, np.ndarray]:
+        with self._lock:
+            out = dict(self._optimized)
+            return out
+
+    @property
+    def num_loop_closures(self) -> int:
+        return len(self._loop_edges)
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            kf = self._queue.get()
+            if kf is None:
+                break
+            try:
+                edges = self.loop_closer.process_keyframe(
+                    kf, self.system.manager.keyframes
+                )
+            except Exception as e:  # never kill the front end
+                import traceback
+
+                traceback.print_exc()
+                continue
+            if edges:
+                self._loop_edges.extend(edges)
+                self._optimize()
+
+    def _graph_edges(self):
+        self.pg.edges = []
+        for e in self.system.manager.edges:
+            self.pg.add_edge(e.from_id, e.to_id, e.T_rel, e.information)
+        for e in self._loop_edges:
+            self.pg.add_edge(
+                e["from_id"], e["to_id"], e["T_rel"], e["information"], robust=True
+            )
+
+    def _optimize(self) -> None:
+        kfs = self.system.manager.keyframes
+        poses = [kf.T_wk.copy() for kf in kfs]
+        self._graph_edges()
+        result = self.pg.optimize(poses)
+        with self._lock:
+            self._optimized = {i: T for i, T in enumerate(result["poses"])}
+        self.last_result = result
+
+    def _final_optimize(self) -> None:
+        if self._loop_edges:
+            self._optimize()

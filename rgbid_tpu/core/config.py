@@ -112,6 +112,10 @@ class BackendConfig:
     reloc_iters: int = 12
     max_reloc_residual: float = 2.5
     min_reloc_inliers: float = 0.55
+    # Absolute residual-scale gates (the normalized error/inlier stats are
+    # scale-invariant and accept garbage alignments on their own).
+    max_reloc_sigma_int: float = 0.06
+    max_reloc_sigma_xi: float = 0.04
     # Pose graph optimization.
     pg_iterations: int = 15
     pg_damping: float = 1e-5

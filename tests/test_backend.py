@@ -1,0 +1,178 @@
+"""Back-end components: pose graph, BoW place recognition, batched
+relocalization (BASELINE.json config 4).
+"""
+
+import numpy as np
+import pytest
+
+from rgbid_tpu.backend.place_recognition import BowDatabase, hamming_distances
+from rgbid_tpu.backend.pose_graph import GraphEdge, optimize_pose_graph
+from rgbid_tpu.backend.relocalization import RelocScorer
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import SlamConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.reference_cpu import se3_np
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+
+
+# ---------------------------------------------------------------------------
+# Pose graph
+
+
+def _chain_with_drift(n=12, drift=0.02, seed=0):
+    """Ground-truth loop trajectory + drifted odometry measurements."""
+    rng = np.random.default_rng(seed)
+    gt = [np.eye(4)]
+    rels = []
+    for i in range(n - 1):
+        d = np.array([0.3, 0.0, 0.1, 0.0, 0.25, 0.0]) + rng.normal(scale=0.01, size=6)
+        T_rel = se3_np.exp(d)  # T_{i<-i+1}
+        rels.append(T_rel)
+        gt.append(gt[-1] @ T_rel)
+    # Odometry measurements = true rels + accumulating noise (drift).
+    noisy = [se3_np.exp(rng.normal(scale=drift, size=6) * [1, 1, 1, 0.3, 0.3, 0.3]) @ R for R in rels]
+    return gt, rels, noisy
+
+
+def test_pose_graph_zero_residual_stays():
+    gt, rels, _ = _chain_with_drift()
+    edges = [
+        GraphEdge(i, i + 1, rels[i], np.eye(6) * 1e4) for i in range(len(rels))
+    ]
+    out = optimize_pose_graph(gt, edges, iterations=5)
+    assert out["final_error"] < 1e-9
+    for a, b in zip(out["poses"], gt):
+        np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_pose_graph_corrects_drift_with_loop():
+    gt, rels, noisy = _chain_with_drift()
+    n = len(gt)
+    # Build drifted initial poses by integrating noisy odometry.
+    poses = [np.eye(4)]
+    for R in noisy:
+        poses.append(poses[-1] @ R)
+    drift_before = np.linalg.norm(poses[-1][:3, 3] - gt[-1][:3, 3])
+    edges = [GraphEdge(i, i + 1, noisy[i], np.eye(6) * 1e2) for i in range(n - 1)]
+    # Loop edge: perfect relative measurement between last and first node.
+    T_loop = se3_np.inv(gt[0]) @ gt[-1]  # T_{0<-? }: T_w0 @ X = T_w,last
+    edges.append(GraphEdge(0, n - 1, T_loop, np.eye(6) * 1e6, robust=True))
+    out = optimize_pose_graph(poses, edges, iterations=20)
+    drift_after = np.linalg.norm(out["poses"][-1][:3, 3] - gt[-1][:3, 3])
+    assert out["final_error"] < out["initial_error"]
+    assert drift_after < 0.2 * drift_before
+    # Interior nodes also improve on average.
+    e_b = np.mean([np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(poses, gt)])
+    e_a = np.mean([np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(out["poses"], gt)])
+    assert e_a < 0.5 * e_b
+
+
+def test_pose_graph_huber_resists_outlier_loop():
+    gt, rels, _ = _chain_with_drift()
+    n = len(gt)
+    edges = [GraphEdge(i, i + 1, rels[i], np.eye(6) * 1e4) for i in range(n - 1)]
+    # A WRONG loop edge (e.g. a false positive place match), robustified.
+    bogus = se3_np.exp(np.array([1.5, -2.0, 0.7, 0.4, 0.2, -0.5]))
+    edges.append(GraphEdge(0, n - 1, bogus, np.eye(6) * 1e2, robust=True))
+    out = optimize_pose_graph(gt, edges, iterations=20)
+    # With Huber the correct odometry dominates: nodes stay near GT.
+    errs = [np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(out["poses"], gt)]
+    assert max(errs) < 0.08
+
+
+# ---------------------------------------------------------------------------
+# BoW
+
+
+def test_hamming_distances():
+    a = np.zeros((2, 32), np.uint8)
+    b = np.zeros((3, 32), np.uint8)
+    b[1, 0] = 0xFF
+    b[2, :] = 0xFF
+    d = hamming_distances(a, b)
+    assert d[0, 0] == 0 and d[0, 1] == 8 and d[0, 2] == 256
+
+
+def test_bow_same_place_scores_higher():
+    from rgbid_tpu.backend.features import extract_orb
+
+    scene = synthetic.make_scene(0)
+    poses = synthetic.loopy_trajectory(20, radius=0.4, rot_amp=0.12)
+    views = [0, 4, 8, 12, 19]  # 19 is back near 0
+    descs = {}
+    for v in views:
+        rgb, _, gray, _ = synthetic.render_frame(scene, INTR, poses[v])
+        u8 = np.clip(gray * 255, 0, 255).astype(np.uint8)
+        _, descs[v] = extract_orb(u8, 400)
+
+    db = BowDatabase(min_score=0.0, min_gap=2, max_candidates=10)
+    for i, v in enumerate(views[:-1]):
+        db.insert(i, descs[v])
+    results = dict(db.query(10, descs[19]))  # query id far from all
+    assert len(results) > 0
+    # The revisit (view 0 == entry 0) must be the best match.
+    best = max(results, key=results.get)
+    assert best == 0
+
+
+# ---------------------------------------------------------------------------
+# Batched relocalization
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_reloc_scorer_recovers_relative_pose(batch):
+    cfg = SlamConfig().override(
+        **{"tracking.levels": 3, "backend.reloc_level": 1, "backend.reloc_iters": 20}
+    )
+    scorer = RelocScorer(INTR, cfg)
+    scene = synthetic.make_scene(0)
+    from rgbid_tpu.reference_cpu import odometry as odo
+
+    def planes(T_wc):
+        rgb, d16, _, _ = synthetic.render_frame(scene, INTR, T_wc)
+        pyr = odo.preprocess_frame(rgb, d16, 2)
+        return {
+            "intensity": pyr.intensity[1],
+            "xi": pyr.xi[1],
+            "mask": pyr.mask[1].astype(np.float32),
+        }
+
+    T0 = np.eye(4)
+    temps, curs, gts = [], [], []
+    for k in range(batch):
+        T1 = synthetic.orbit_trajectory(40, trans_amp=0.2, rot_amp=0.06)[3 + 2 * k]
+        temps.append(planes(T0))
+        curs.append(planes(T1))
+        gts.append(np.linalg.inv(T1) @ T0)  # T_{cur<-template}
+    res = scorer.score_pairs(temps, curs)
+    for k in range(batch):
+        assert scorer.accept(res, k), (
+            float(res.error[k]),
+            float(res.inlier_frac[k]),
+            float(res.n_valid[k]),
+        )
+        err = se3_np.log(se3_np.inv(gts[k]) @ np.asarray(res.T[k], np.float64))
+        assert np.linalg.norm(err) < 1.2e-2  # loop-edge precision; info-weighted in the graph
+
+
+def test_reloc_scorer_rejects_unrelated_views():
+    cfg = SlamConfig().override(
+        **{"tracking.levels": 3, "backend.reloc_level": 1, "backend.reloc_iters": 12}
+    )
+    scorer = RelocScorer(INTR, cfg)
+    scene_a = synthetic.make_scene(0)
+    scene_b = synthetic.make_scene(99)  # different textures & layout
+    from rgbid_tpu.reference_cpu import odometry as odo
+
+    def planes(scene, T_wc):
+        rgb, d16, _, _ = synthetic.render_frame(scene, INTR, T_wc)
+        pyr = odo.preprocess_frame(rgb, d16, 2)
+        return {
+            "intensity": pyr.intensity[1],
+            "xi": pyr.xi[1],
+            "mask": pyr.mask[1].astype(np.float32),
+        }
+
+    res = scorer.score_pairs([planes(scene_a, np.eye(4))], [planes(scene_b, np.eye(4))])
+    assert not scorer.accept(res, 0)

@@ -1,0 +1,81 @@
+"""Full back-end integration: loop detection -> batched verification ->
+pose-graph optimization -> trajectory rebase (BASELINE.json config 4).
+"""
+
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import SlamConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.eval import absolute_trajectory_error
+from rgbid_tpu.system import SlamSystem
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+
+
+@pytest.fixture(scope="module")
+def run():
+    # A closed loop with noisy depth (odometry drifts a little), revisiting
+    # the start. Tight keyframe thresholds -> enough keyframes for the BoW
+    # temporal gap.
+    cfg = SlamConfig().override(
+        **{
+            "tracking.levels": 3,
+            "tracking.iters": (4, 8, 16),
+            "keyframe.max_translation": 0.12,
+            "keyframe.max_rotation": 0.12,
+            "keyframe.min_overlap": 0.80,
+            "backend.enabled": True,
+            "backend.min_keyframe_gap": 5,
+            "backend.reloc_level": 1,
+            "backend.reloc_iters": 16,
+            "backend.min_score": 0.05,
+        }
+    )
+    seq = synthetic.generate_sequence(
+        n_frames=40,
+        intr=INTR,
+        motion="loop",
+        radius=0.5,
+        rot_amp=0.15,
+        xi_noise_sigma=0.004,
+        seed=2,
+    )
+    slam = SlamSystem(INTR, cfg)
+    for f in seq.frames():
+        slam.process_frame(f.rgb, f.depth, f.timestamp)
+    slam.finish()
+    return seq, slam
+
+
+def test_loop_closures_found(run):
+    _, slam = run
+    assert slam.backend is not None
+    assert slam.backend.num_loop_closures >= 1
+    # Every accepted loop edge connects temporally distant keyframes.
+    for e in slam.backend._loop_edges:
+        assert e["to_id"] - e["from_id"] >= 5
+        assert np.all(np.isfinite(e["T_rel"]))
+
+
+def test_pose_graph_ran_and_reduced_error(run):
+    _, slam = run
+    res = getattr(slam.backend, "last_result", None)
+    assert res is not None, "pose graph never ran"
+    assert res["final_error"] <= res["initial_error"] + 1e-12
+
+
+def test_trajectory_still_accurate_after_optimization(run):
+    seq, slam = run
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    gt = [gt0 @ T for T in seq.gt_poses]
+    ate = absolute_trajectory_error(gt, slam.poses())
+    assert ate["rmse"] < 0.012
+
+
+def test_backend_stats_sane(run):
+    _, slam = run
+    lc = slam.backend.loop_closer
+    assert lc.n_queries == len(slam.manager.keyframes)
+    assert lc.n_accepted <= lc.n_candidates
