@@ -1,0 +1,87 @@
+"""Headline benchmark: dense frame-to-keyframe tracking fps at 640x480.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference's ~30 Hz real-time rate on a consumer GPU
+(BASELINE.md); the north-star target is >=60 fps on one real v5e chip.
+
+Honest-timing protocol for this sandbox (SURVEY.md App. A):
+`block_until_ready()` does NOT synchronize on the axon platform, so each
+frame is timed through the SlamSystem's own host readback of the
+~60-float StepResult (a real data-dependent sync). The sandbox TPU is an
+emulated v5e ~100x slower than hardware (3.5 ms/dispatch, 0.5 GB/s HBM);
+the fps printed here is the sandbox-measured number, not the hardware
+projection.
+
+Extra context (frame time breakdown, config) goes to stderr only.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    from rgbid_tpu.core.camera import DEFAULT
+    from rgbid_tpu.core.config import SlamConfig
+    from rgbid_tpu.datasets import synthetic
+    from rgbid_tpu.eval import absolute_trajectory_error
+    from rgbid_tpu.system import SlamSystem
+
+    n_warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
+
+    intr = DEFAULT  # 640 x 480
+    cfg = SlamConfig().override(**{"backend.enabled": False})
+    print(
+        f"bench: rendering {n_warmup + n_frames} VGA frames...", file=sys.stderr
+    )
+    seq = synthetic.generate_sequence(
+        n_frames=n_warmup + n_frames,
+        intr=intr,
+        motion="orbit",
+        trans_amp=0.15,
+        rot_amp=0.04,
+        xi_noise_sigma=0.003,
+    )
+    slam = SlamSystem(intr, cfg)
+
+    times = []
+    for i, f in enumerate(seq.frames()):
+        t0 = time.perf_counter()
+        slam.process_frame(f.rgb, f.depth, f.timestamp)
+        # SlamSystem.process_frame ends with a host readback of the
+        # StepResult -> this wall time covers the full device step.
+        dt = time.perf_counter() - t0
+        if i >= n_warmup:
+            times.append(dt)
+        print(f"bench: frame {i} {dt*1000:.1f} ms", file=sys.stderr)
+
+    med = float(np.median(times))
+    fps = 1.0 / med
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    ate = absolute_trajectory_error(
+        [gt0 @ T for T in seq.gt_poses], slam.poses()
+    )
+    print(
+        f"bench: median {med*1000:.1f} ms/frame, ATE {ate['rmse']*1000:.2f} mm",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_640x480",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+Validates the SPMD row-sharded tracker (psum'd normal equations) against
+the single-device tracker, and mesh-sharded DP relocalization against the
+unsharded scorer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbid_tpu.backend.relocalization import RelocScorer
+from rgbid_tpu.core.camera import Intrinsics, level_intrinsics
+from rgbid_tpu.core.config import SlamConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.parallel import SpmdTracker, make_mesh, shard_reloc_batch
+from rgbid_tpu.reference_cpu import odometry as odo
+from rgbid_tpu.reference_cpu import se3_np
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def level1_pair():
+    scene = synthetic.make_scene(0)
+    T0 = np.eye(4)
+    T1 = synthetic.orbit_trajectory(40, trans_amp=0.2, rot_amp=0.05)[3]
+    f0 = synthetic.render_frame(scene, INTR, T0)
+    f1 = synthetic.render_frame(scene, INTR, T1)
+    p0 = odo.preprocess_frame(f0[0], f0[1], 2)
+    p1 = odo.preprocess_frame(f1[0], f1[1], 2)
+    T_gt = np.linalg.inv(T1) @ T0
+    return p0, p1, T_gt
+
+
+def test_spmd_tracker_matches_ground_truth(level1_pair):
+    p0, p1, T_gt = level1_pair
+    intr_l = level_intrinsics(INTR, 1)  # 120 x 160: 120 rows = 8 x 15
+    mesh = make_mesh(8, "sp")
+
+    from rgbid_tpu.ops import gauss_newton, image
+
+    kf_int = jnp.asarray(p0.intensity[1])
+    kf_xi = jnp.asarray(p0.xi[1])
+    kf_mask = jnp.asarray(p0.mask[1], jnp.float32)
+    ones = jnp.ones_like(kf_mask)
+    gx_i, gy_i = image.gradients(kf_int, ones)
+    gx_x, gy_x = image.gradients(kf_xi, kf_mask)
+    jac = gauss_newton.template_jacobians(gx_i, gy_i, gx_x, gy_x, kf_xi, kf_mask, intr_l)
+
+    # Init ~3 cm off GT: a single pyramid level has a narrow basin (the
+    # full tracker provides coarse levels; here we test the SPMD math).
+    T0 = se3_np.exp(np.array([0.02, -0.015, 0.01, 0.008, -0.006, 0.01])) @ T_gt
+    tr = SpmdTracker(mesh, intr_l)
+    T, s2i, s2x = tr.track(
+        kf_int, kf_xi, kf_mask, jac.j_int, jac.j_xi,
+        jnp.asarray(p1.intensity[1]), jnp.asarray(p1.xi[1]),
+        jnp.asarray(p1.mask[1], jnp.float32),
+        jnp.asarray(T0, jnp.float32), iters=25,
+    )
+    err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(T, np.float64))
+    assert np.linalg.norm(err) < 3e-3
+    assert float(s2i) < 0.01
+
+
+def test_spmd_matches_single_device(level1_pair):
+    """8-way row sharding must reproduce the unsharded math (same psums)."""
+    p0, p1, _ = level1_pair
+    intr_l = level_intrinsics(INTR, 1)
+    from rgbid_tpu.ops import gauss_newton, image
+
+    kf_int = jnp.asarray(p0.intensity[1])
+    kf_xi = jnp.asarray(p0.xi[1])
+    kf_mask = jnp.asarray(p0.mask[1], jnp.float32)
+    ones = jnp.ones_like(kf_mask)
+    gx_i, gy_i = image.gradients(kf_int, ones)
+    gx_x, gy_x = image.gradients(kf_xi, kf_mask)
+    jac = gauss_newton.template_jacobians(gx_i, gy_i, gx_x, gy_x, kf_xi, kf_mask, intr_l)
+    cur = (
+        jnp.asarray(p1.intensity[1]),
+        jnp.asarray(p1.xi[1]),
+        jnp.asarray(p1.mask[1], jnp.float32),
+    )
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev, "sp")
+        tr = SpmdTracker(mesh, intr_l)
+        T, _, _ = tr.track(
+            kf_int, kf_xi, kf_mask, jac.j_int, jac.j_xi, *cur,
+            jnp.eye(4, dtype=jnp.float32), iters=10,
+        )
+        results[n_dev] = np.asarray(T, np.float64)
+    # fp reduction order differs; agreement to ~1e-4 is bit-noise level here.
+    np.testing.assert_allclose(results[1], results[8], atol=5e-4)
+
+
+def test_sharded_reloc_matches_unsharded(level1_pair):
+    p0, p1, T_gt = level1_pair
+    cfg = SlamConfig().override(
+        **{"tracking.levels": 3, "backend.reloc_level": 1, "backend.reloc_iters": 16}
+    )
+    scorer = RelocScorer(INTR, cfg)
+    planes0 = {"intensity": p0.intensity[1], "xi": p0.xi[1], "mask": p0.mask[1].astype(np.float32)}
+    planes1 = {"intensity": p1.intensity[1], "xi": p1.xi[1], "mask": p1.mask[1].astype(np.float32)}
+    temps = [planes0] * 3
+    curs = [planes1] * 3
+
+    base = scorer.score_pairs(temps, curs)
+    mesh = make_mesh(8, "dp")
+    sharded = shard_reloc_batch(scorer, mesh, temps, curs)
+    np.testing.assert_allclose(np.asarray(sharded.T), np.asarray(base.T)[:3], atol=1e-4)
+    err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(sharded.T[0], np.float64))
+    assert np.linalg.norm(err) < 1.2e-2
