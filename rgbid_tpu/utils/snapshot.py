@@ -1,0 +1,134 @@
+"""Full-state snapshot / resume.
+
+The reference persists only a trajectory + map at shutdown (SURVEY.md §5
+"Checkpoint / resume: none"). Because all dense state here lives in
+pytrees, a full snapshot is nearly free — so the rebuild adds one: the
+active device keyframe, host keyframe records (poses, clouds, reloc
+planes, descriptors), graph edges, trajectory and config hash go into a
+single .npz; `restore` reconstructs a SlamSystem that continues tracking.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..system import SlamSystem
+
+FORMAT_VERSION = 1
+
+
+def save(system: "SlamSystem", path: str) -> None:
+    arrays = {}
+    meta = {
+        "version": FORMAT_VERSION,
+        "config": system.config.to_dict(),
+        "config_hash": system.config.config_hash(),
+        "intrinsics": list(system.intr),
+        "frame_count": system._frame_count,
+        "stats": system.stats,
+        "n_keyframes": len(system.manager.keyframes),
+        "edges": [
+            {"from_id": e.from_id, "to_id": e.to_id} for e in system.manager.edges
+        ],
+    }
+    arrays["T_ck"] = np.asarray(system._T_ck)
+    arrays["T_wc_prev"] = np.asarray(system._T_wc_prev)
+    arrays["delta"] = np.asarray(system._delta)
+    arrays["traj_t"] = np.asarray([t for t, _ in system._trajectory])
+    arrays["traj_T"] = np.stack([T for _, T in system._trajectory]) if system._trajectory else np.zeros((0, 4, 4))
+
+    for i, e in enumerate(system.manager.edges):
+        arrays[f"edge_{i}_T"] = e.T_rel
+        arrays[f"edge_{i}_info"] = e.information
+    for kf in system.manager.keyframes:
+        p = f"kf_{kf.kf_id}_"
+        arrays[p + "T_wk"] = kf.T_wk
+        arrays[p + "ts"] = np.asarray(kf.timestamp)
+        if kf.cloud is not None:
+            arrays[p + "cloud"] = kf.cloud
+        if kf.descriptors is not None:
+            arrays[p + "desc"] = kf.descriptors
+            arrays[p + "kpts"] = kf.keypoints
+        if kf.reloc_planes is not None:
+            for k, v in kf.reloc_planes.items():
+                arrays[p + "rp_" + k] = v
+    # Active device keyframe state (flattened pytree).
+    if system._kf_state is not None:
+        leaves, treedef = jax.tree_util.tree_flatten(system._kf_state)
+        meta["kf_state_n_leaves"] = len(leaves)
+        for i, leaf in enumerate(leaves):
+            arrays[f"kfstate_{i}"] = np.asarray(leaf)
+    arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def restore(path: str, config=None) -> "SlamSystem":
+    from ..core.camera import Intrinsics
+    from ..core.config import SlamConfig
+    from ..mapping.keyframe import Keyframe
+    from ..mapping.manager import OdometryEdge
+    from ..system import SlamSystem
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta_json"].tobytes()).decode())
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"snapshot version {meta['version']} != {FORMAT_VERSION}")
+    intr = Intrinsics(*meta["intrinsics"])
+    cfg = config or SlamConfig.from_json(json.dumps(meta["config"]))
+    system = SlamSystem(intr, cfg)
+
+    system._frame_count = meta["frame_count"]
+    system.stats = meta["stats"]
+    system._T_ck = z["T_ck"]
+    system._T_wc_prev = z["T_wc_prev"]
+    system._delta = z["delta"]
+    system._trajectory = [
+        (float(t), T) for t, T in zip(z["traj_t"], z["traj_T"])
+    ]
+    for i in range(meta["n_keyframes"]):
+        p = f"kf_{i}_"
+        kf = Keyframe(kf_id=i, timestamp=float(z[p + "ts"]), T_wk=z[p + "T_wk"])
+        if p + "cloud" in z:
+            kf.cloud = z[p + "cloud"]
+        if p + "desc" in z:
+            kf.descriptors = z[p + "desc"]
+            kf.keypoints = z[p + "kpts"]
+        rp = {
+            k[len(p + "rp_") :]: z[k] for k in z.files if k.startswith(p + "rp_")
+        }
+        if rp:
+            kf.reloc_planes = rp
+        system.manager.keyframes.append(kf)
+    for i, e in enumerate(meta["edges"]):
+        system.manager.edges.append(
+            OdometryEdge(e["from_id"], e["to_id"], z[f"edge_{i}_T"], z[f"edge_{i}_info"])
+        )
+    if "kf_state_n_leaves" in meta:
+        # Rebuild the pytree structure from a template of the same config.
+        leaves = [jnp.asarray(z[f"kfstate_{i}"]) for i in range(meta["kf_state_n_leaves"])]
+        template = _kf_state_treedef(system)
+        system._kf_state = jax.tree_util.tree_unflatten(template, leaves)
+    return system
+
+
+def _kf_state_treedef(system: "SlamSystem"):
+    """Treedef of a DeviceKeyframe for this system's config (via a dummy)."""
+    from ..mapping.keyframe import create_device_keyframe
+    from ..tracking.frames import preprocess_frame
+
+    h, w = system.intr.height, system.intr.width
+    rgb = jnp.zeros((h, w, 3), jnp.uint8)
+    d = jnp.zeros((h, w), jnp.uint16)
+    dummy = create_device_keyframe(
+        preprocess_frame(rgb, d, system.config.tracking.levels),
+        system.intr,
+        system.config.fusion,
+    )
+    return jax.tree_util.tree_flatten(dummy)[1]
