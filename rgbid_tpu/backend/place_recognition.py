@@ -18,9 +18,20 @@ import numpy as np
 
 
 def hamming_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Pairwise Hamming distances between (N, 32) and (M, 32) uint8 rows."""
+    """Pairwise Hamming distances between (N, 32) and (M, 32) uint8 rows.
+
+    Uses the native C++ popcount kernel when built (rgbid_tpu.native);
+    the numpy bitwise_count path is the tested fallback/oracle.
+    """
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.int32)
+    try:
+        from .. import native
+
+        if native.available():
+            return native.hamming_batch(a, b)
+    except Exception:
+        pass
     a64 = np.ascontiguousarray(a).view(np.uint64)  # (N, 4)
     b64 = np.ascontiguousarray(b).view(np.uint64)  # (M, 4)
     out = np.zeros((len(a), len(b)), np.int32)

@@ -47,6 +47,9 @@ class TrackingConfig:
     # Minimum fraction of keyframe pixels that must warp into the current
     # image with valid samples for the frame to be accepted.
     min_valid_fraction: float = 0.2
+    # IRLS reduction implementation: "xla" (einsum path), "pallas" (fused
+    # kernel A'), or "auto" (pallas on TPU, xla elsewhere).
+    kernel: str = "auto"
 
 
 @dataclass(frozen=True)

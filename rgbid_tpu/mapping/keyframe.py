@@ -41,9 +41,7 @@ def _template_levels(
         jac = gauss_newton.template_jacobians(
             gx_i, gy_i, gx_x, gy_x, xi_pyr[l], mask_pyr[l], intr_l
         )
-        out.append(
-            KeyframeLevel(int_pyr[l], xi_pyr[l], mask_pyr[l], jac.j_int, jac.j_xi)
-        )
+        out.append(KeyframeLevel(int_pyr[l], xi_pyr[l], mask_pyr[l], jac))
     return tuple(out)
 
 

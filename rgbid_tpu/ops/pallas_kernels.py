@@ -1,0 +1,219 @@
+"""Pallas fused kernels for the IRLS hot path (kernel A' = K5+K6+K7).
+
+The gather half of K5 (bilinear warp sampling) stays in XLA — Pallas
+cannot lower dynamic per-pixel gathers on this platform (SURVEY.md §7
+stance 3, measured) — and the gather-free per-pixel pipeline is fused
+here into two VPU kernels that each read the pixel planes exactly once:
+
+* ``_sigma_kernel``: partial sums for the Student-t scale fixed point
+  (sum of w(sigma_old) * r^2 per channel + valid count).
+* ``_normal_kernel``: Student-t weights + the 21-entry upper-triangular
+  J^T W J, 6-entry J^T W r, weighted error, inlier count — one pass over
+  the 5 residual planes + 12 Jacobian planes, accumulated across row-tile
+  grid steps into a single (1, 128) output block.
+
+Both kernels implement exactly the contract of
+ops.gauss_newton.residuals_and_normal_eq (the XLA twin); equivalence is
+enforced by tests. On non-TPU backends the kernels run in interpreter
+mode so the whole suite exercises them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.camera import Intrinsics
+from .gauss_newton import IrlsResult
+from .warp import bilinear_sample, warp_points
+
+_TRI = [(a, b) for a in range(6) for b in range(a, 6)]  # 21 upper-tri pairs
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile_rows(h: int) -> int:
+    """Row-tile height: divides h, multiple of 8 when possible, ~<=120."""
+    for t in (120, 96, 80, 64, 60, 48, 40, 32, 24, 16, 8):
+        if h % t == 0:
+            return t
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Kernel S: sigma sufficient statistics
+
+
+def _sigma_kernel(s2_ref, i_s_ref, xi_s_ref, rho_ref, kf_int_ref, valid_ref, out_ref, *, nu):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    valid = valid_ref[:]
+    r_i = (i_s_ref[:] - kf_int_ref[:]) * valid
+    r_x = (xi_s_ref[:] - rho_ref[:]) * valid
+    s2i = s2_ref[0, 0]
+    s2x = s2_ref[0, 1]
+    w_i = (nu + 1.0) / (nu + r_i * r_i / s2i)
+    w_x = (nu + 1.0) / (nu + r_x * r_x / s2x)
+    p0 = jnp.sum(valid * w_i * r_i * r_i)
+    p1 = jnp.sum(valid * w_x * r_x * r_x)
+    p2 = jnp.sum(valid)
+    partial = jnp.stack([p0, p1, p2])
+    out_ref[0, 0:3] = out_ref[0, 0:3] + partial
+
+
+def sigma_stats(i_s, xi_s, rho, kf_int, valid, s2i, s2x, nu: float):
+    """Returns (sum w(s2)*r_i^2, sum w(s2)*r_x^2, n_valid) over all pixels."""
+    h, w = i_s.shape
+    th = _tile_rows(h)
+    grid = h // th
+    spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    s2 = jnp.stack([s2i, s2x]).reshape(1, 2).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_sigma_kernel, nu=nu),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec, spec, spec, spec, spec,
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=_interpret(),
+    )(s2, i_s, xi_s, rho, kf_int, valid)
+    return out[0, 0], out[0, 1], out[0, 2]
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: fused residual + weight + normal-equation reduction
+
+
+def _normal_kernel(
+    s2_ref, i_s_ref, xi_s_ref, rho_ref, kf_int_ref, valid_ref, jac_ref, out_ref,
+    *, nu, gate2, use_geometric,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    valid = valid_ref[:]
+    r_i = (i_s_ref[:] - kf_int_ref[:]) * valid
+    r_x = (xi_s_ref[:] - rho_ref[:]) * valid
+    s2i = s2_ref[0, 0]
+    s2x = s2_ref[0, 1]
+    w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid / s2i
+    w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid / s2x
+
+    sums = []
+    # 21 upper-triangular H entries, both channels fused.
+    for a, b in _TRI:
+        s = jnp.sum(w_i * jac_ref[a] * jac_ref[b])
+        if use_geometric:
+            s = s + jnp.sum(w_x * jac_ref[6 + a] * jac_ref[6 + b])
+        sums.append(s)
+    # 6 b entries.
+    for a in range(6):
+        s = jnp.sum(w_i * jac_ref[a] * r_i)
+        if use_geometric:
+            s = s + jnp.sum(w_x * jac_ref[6 + a] * r_x)
+        sums.append(s)
+    # err, inlier count, n_valid.
+    sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))
+    sums.append(jnp.sum(valid * (r_i * r_i < gate2 * s2i)))
+    sums.append(jnp.sum(valid))
+    partial = jnp.stack(sums)  # (30,)
+    out_ref[0, 0:30] = out_ref[0, 0:30] + partial
+
+
+def normal_eq(
+    i_s, xi_s, rho, kf_int, valid, jac12, s2i, s2x, nu: float, gate_sigmas: float,
+    use_geometric: bool,
+):
+    """Fused weights + J^T W J / J^T W r reduction. Returns raw sums:
+    (H (6,6), b (6,), err_sum, inlier_sum, n_valid)."""
+    h, w = i_s.shape
+    th = _tile_rows(h)
+    grid = h // th
+    spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((12, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    s2 = jnp.stack([s2i, s2x]).reshape(1, 2).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(
+            _normal_kernel, nu=nu, gate2=gate_sigmas**2, use_geometric=use_geometric
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec, spec, spec, spec, spec, jspec,
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=_interpret(),
+    )(s2, i_s, xi_s, rho, kf_int, valid, jac12)
+
+    tri = out[0, 0:21]
+    H = jnp.zeros((6, 6), jnp.float32)
+    for k, (a, b) in enumerate(_TRI):
+        H = H.at[a, b].set(tri[k])
+        H = H.at[b, a].set(tri[k])
+    b_vec = out[0, 21:27]
+    return H, b_vec, out[0, 27], out[0, 28], out[0, 29]
+
+
+# ---------------------------------------------------------------------------
+# Drop-in replacement for gauss_newton.residuals_and_normal_eq
+
+
+def residuals_and_normal_eq_pallas(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_xi: jax.Array,
+    kf_mask: jax.Array,
+    jac12: jax.Array,
+    cur_int: jax.Array,
+    cur_xi: jax.Array,
+    cur_mask: jax.Array,
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    sigma_iters: int,
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+) -> IrlsResult:
+    """Identical contract to the XLA twin; fused Pallas reductions."""
+    up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
+    i_s, ok_i = bilinear_sample(cur_int, None, up, vp)
+    xi_s, ok_x = bilinear_sample(cur_xi, cur_mask, up, vp)
+    valid = valid0 * ok_i * ok_x
+
+    for _ in range(max(sigma_iters, 1)):
+        swi, swx, n = sigma_stats(i_s, xi_s, rho, kf_int, valid, sigma2_int, sigma2_xi, nu)
+        n = jnp.maximum(n, 1.0)
+        sigma2_int = jnp.maximum(swi / n, 1e-12)
+        sigma2_xi = jnp.maximum(swx / n, 1e-12)
+
+    H, b, err_sum, inl_sum, n_valid = normal_eq(
+        i_s, xi_s, rho, kf_int, valid, jac12, sigma2_int, sigma2_xi,
+        nu, gate_sigmas, use_geometric,
+    )
+    inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    return IrlsResult(
+        H=H * inv_n,
+        b=b * inv_n,
+        sigma2_int=sigma2_int,
+        sigma2_xi=sigma2_xi,
+        error=err_sum * inv_n,
+        n_valid=n_valid,
+        inlier_frac=inl_sum * inv_n,
+    )

@@ -87,7 +87,7 @@ class SpmdTracker:
         intr_l, nu, damping = self.intr_l, self.nu, self.damping
         n_shards = self.mesh.shape[axis]
 
-        def step(kf_int, kf_xi, kf_mask, j_int, j_xi, cur_int, cur_xi, cur_mask, T0):
+        def step(kf_int, kf_xi, kf_mask, jac12, cur_int, cur_xi, cur_mask, T0):
             block_h = kf_int.shape[0]  # local rows per shard
             v0 = jax.lax.axis_index(axis).astype(jnp.float32) * block_h
 
@@ -113,12 +113,12 @@ class SpmdTracker:
                 w_i = (nu + 1.0) / (nu + r_i * r_i / s2i_new) * valid / s2i_new
                 w_x = (nu + 1.0) / (nu + r_x * r_x / s2x_new) * valid / s2x_new
 
-                ji = j_int.reshape(-1, 6)
-                jx = j_xi.reshape(-1, 6)
+                ji = jac12[:6].reshape(6, -1)
+                jx = jac12[6:].reshape(6, -1)
                 wi = w_i.reshape(-1) / n_glob
                 wx = w_x.reshape(-1) / n_glob
-                H_loc = (ji * wi[:, None]).T @ ji + (jx * wx[:, None]).T @ jx
-                b_loc = ji.T @ (wi * r_i.reshape(-1)) + jx.T @ (wx * r_x.reshape(-1))
+                H_loc = (ji * wi[None, :]) @ ji.T + (jx * wx[None, :]) @ jx.T
+                b_loc = ji @ (wi * r_i.reshape(-1)) + jx @ (wx * r_x.reshape(-1))
                 # The only collectives on the critical path: 36 + 6 floats.
                 H = jax.lax.psum(H_loc, axis)
                 b = jax.lax.psum(b_loc, axis)
@@ -136,28 +136,28 @@ class SpmdTracker:
             return T, s2i, s2x
 
         shard2 = P(self.axis, None)
-        shard3 = P(self.axis, None, None)
+        shard_jac = P(None, self.axis, None)  # (12, H, W): rows sharded
         rep = P()
         mapped = _shard_map(
             step,
             self.mesh,
-            in_specs=(shard2, shard2, shard2, shard3, shard3, rep, rep, rep, rep),
+            in_specs=(shard2, shard2, shard2, shard_jac, rep, rep, rep, rep),
             out_specs=(rep, rep, rep),
         )
         return jax.jit(mapped)
 
-    def track(self, kf_int, kf_xi, kf_mask, j_int, j_xi, cur_int, cur_xi, cur_mask, T0, iters: int):
+    def track(self, kf_int, kf_xi, kf_mask, jac12, cur_int, cur_xi, cur_mask, T0, iters: int):
         if iters not in self._fn_cache:
             self._fn_cache[iters] = self._build(iters)
         fn = self._fn_cache[iters]
         # Place the inputs with their shardings so jit doesn't resharded-copy.
         sh2 = NamedSharding(self.mesh, P(self.axis, None))
-        sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
+        sh_jac = NamedSharding(self.mesh, P(None, self.axis, None))
         rep = NamedSharding(self.mesh, P())
         put = jax.device_put
         return fn(
             put(kf_int, sh2), put(kf_xi, sh2), put(kf_mask, sh2),
-            put(j_int, sh3), put(j_xi, sh3),
+            put(jac12, sh_jac),
             put(cur_int, rep), put(cur_xi, rep), put(cur_mask, rep),
             put(T0, rep),
         )

@@ -27,7 +27,7 @@ from .mapping.export import assemble_map, write_ply, write_tum_trajectory
 from .mapping.keyframe import DeviceKeyframe, Keyframe
 from .mapping.manager import KeyframeManager
 from .reference_cpu import se3_np
-from .tracking.step import ProcessFrame, StepResult
+from .tracking.step import ProcessFrame, StepResult, pack_frame
 
 
 class SlamSystem:
@@ -73,12 +73,11 @@ class SlamSystem:
         self, rgb_u8: np.ndarray, depth_u16: np.ndarray, timestamp: float
     ) -> np.ndarray:
         """Track one frame; returns the world camera pose T_wc (4x4)."""
-        rgb_d = jnp.asarray(rgb_u8)
-        depth_d = jnp.asarray(depth_u16)
+        packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
 
         if self._kf_state is None:
             # Bootstrap: first frame becomes keyframe 0 at the origin.
-            self._kf_state = self._step.init_keyframe(rgb_d, depth_d)
+            self._kf_state = self._step.init_keyframe(packed)
             self.manager.new_keyframe(timestamp, np.eye(4))
             self._T_ck = np.eye(4)
             T_wc = np.eye(4)
@@ -86,10 +85,11 @@ class SlamSystem:
             return T_wc
 
         T_init = se3_np.inv(self._delta) @ self._T_ck
-        res, kf2 = self._step(
-            rgb_d, depth_d, self._kf_state, jnp.asarray(T_init, jnp.float32)
+        res_vec, kf2 = self._step(
+            packed, self._kf_state, jnp.asarray(T_init, jnp.float32)
         )
-        res_np = StepResult(*[np.asarray(x) for x in res])
+        # ONE host readback per frame (the packed ~70-float vector).
+        res_np = StepResult.unpack(res_vec, self.config.tracking.levels)
 
         lost = bool(res_np.lost > 0.5)
         switch = bool(res_np.switch > 0.5)

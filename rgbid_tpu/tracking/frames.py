@@ -30,8 +30,7 @@ class KeyframeLevel(NamedTuple):
     intensity: jax.Array
     xi: jax.Array
     mask: jax.Array
-    j_int: jax.Array  # (H, W, 6) IC photometric template Jacobian
-    j_xi: jax.Array  # (H, W, 6) IC inverse-depth template Jacobian
+    jac: jax.Array  # (12, H, W) IC template Jacobians (0-5 photo, 6-11 xi)
 
 
 def preprocess_frame(
@@ -72,7 +71,5 @@ def keyframe_pyramid(
         jac = gauss_newton.template_jacobians(
             gx_i, gy_i, gx_x, gy_x, lev.xi, lev.mask, intr_l
         )
-        out.append(
-            KeyframeLevel(lev.intensity, lev.xi, lev.mask, jac.j_int, jac.j_xi)
-        )
+        out.append(KeyframeLevel(lev.intensity, lev.xi, lev.mask, jac))
     return tuple(out)

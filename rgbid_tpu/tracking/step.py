@@ -31,7 +31,12 @@ from .tracker import TrackResult, _track_impl
 
 
 class StepResult(NamedTuple):
-    """Small per-frame readback (everything the host needs)."""
+    """Small per-frame result (everything the host needs).
+
+    On device this travels as ONE packed f32 vector (`pack`/`unpack`):
+    eleven separate tiny readbacks cost ~35 ms each in per-dispatch
+    overhead on the sandbox TPU, one packed readback ~1.4 ms.
+    """
 
     T: jax.Array  # (4, 4) current <- (entry) keyframe
     cov: jax.Array  # (6, 6) pose covariance (inverse of final H)
@@ -45,6 +50,44 @@ class StepResult(NamedTuple):
     sigma2_int: jax.Array
     sigma2_xi: jax.Array
 
+    def pack(self) -> jax.Array:
+        flat = [jnp.ravel(x).astype(jnp.float32) for x in self]
+        return jnp.concatenate(flat)
+
+    @classmethod
+    def unpack(cls, vec, levels: int) -> "StepResult":
+        import numpy as np
+
+        v = np.asarray(vec)
+        L = levels
+        out, o = [], 0
+        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), ()]:
+            n = int(np.prod(shape)) if shape else 1
+            out.append(v[o : o + n].reshape(shape) if shape else v[o])
+            o += n
+        return cls(*out)
+
+
+def pack_frame(rgb_u8, depth_u16):
+    """Host-side: pack RGB u8 + depth u16 into one (H, W, 5) u8 buffer.
+
+    One device_put instead of two (uploads carry a large fixed cost on the
+    sandbox; measured 37+25 ms as two calls vs ~37 ms packed).
+    """
+    import numpy as np
+
+    h, w = depth_u16.shape
+    d8 = np.ascontiguousarray(depth_u16).view(np.uint8).reshape(h, w, 2)
+    return np.concatenate([rgb_u8, d8], axis=2)
+
+
+def unpack_frame(packed_u8):
+    """Device-side inverse of pack_frame (little-endian u16 reassembly)."""
+    rgb = packed_u8[:, :, :3]
+    lo = packed_u8[:, :, 3].astype(jnp.uint16)
+    hi = packed_u8[:, :, 4].astype(jnp.uint16)
+    return rgb, lo | (hi << 8)
+
 
 def _rotation_angle(R: jax.Array) -> jax.Array:
     c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
@@ -52,16 +95,16 @@ def _rotation_angle(R: jax.Array) -> jax.Array:
 
 
 def _process_frame_impl(
-    rgb_u8: jax.Array,
-    depth_u16: jax.Array,
+    packed_u8: jax.Array,
     kf: DeviceKeyframe,
     T_init: jax.Array,
     intr: Intrinsics,
     cfg: SlamConfig,
-) -> Tuple[StepResult, DeviceKeyframe]:
+) -> Tuple[jax.Array, DeviceKeyframe]:
     tcfg, kcfg, fcfg = cfg.tracking, cfg.keyframe, cfg.fusion
     intrs = tuple(level_intrinsics(intr, l) for l in range(tcfg.levels))
 
+    rgb_u8, depth_u16 = unpack_frame(packed_u8)
     cur = preprocess_frame(
         rgb_u8, depth_u16, tcfg.levels, cfg.depth_scale, cfg.min_depth, cfg.max_depth
     )
@@ -150,7 +193,7 @@ def _process_frame_impl(
         sigma2_int=track.sigma2_int,
         sigma2_xi=track.sigma2_xi,
     )
-    return res, kf2
+    return res.pack(), kf2
 
 
 class ProcessFrame:
@@ -162,8 +205,10 @@ class ProcessFrame:
         self._fn = jax.jit(
             functools.partial(_process_frame_impl, intr=intr, cfg=cfg)
         )
-        self._init_kf = jax.jit(
-            lambda rgb, d16: create_device_keyframe(
+
+        def _init(packed):
+            rgb, d16 = unpack_frame(packed)
+            return create_device_keyframe(
                 preprocess_frame(
                     rgb,
                     d16,
@@ -175,12 +220,14 @@ class ProcessFrame:
                 intr,
                 cfg.fusion,
             )
-        )
 
-    def init_keyframe(self, rgb_u8, depth_u16) -> DeviceKeyframe:
-        return self._init_kf(rgb_u8, depth_u16)
+        self._init_kf = jax.jit(_init)
+
+    def init_keyframe(self, packed_u8) -> DeviceKeyframe:
+        return self._init_kf(packed_u8)
 
     def __call__(
-        self, rgb_u8, depth_u16, kf: DeviceKeyframe, T_init
-    ) -> Tuple[StepResult, DeviceKeyframe]:
-        return self._fn(rgb_u8, depth_u16, kf, T_init)
+        self, packed_u8, kf: DeviceKeyframe, T_init
+    ) -> Tuple[jax.Array, DeviceKeyframe]:
+        """Returns (packed StepResult vector (device), new keyframe state)."""
+        return self._fn(packed_u8, kf, T_init)

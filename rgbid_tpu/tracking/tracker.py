@@ -25,6 +25,19 @@ from ..ops import gauss_newton
 from .frames import FrameLevel, KeyframeLevel
 
 
+def _select_irls(cfg: TrackingConfig):
+    """Pick the IRLS reduction implementation (XLA twin vs Pallas A')."""
+    kernel = getattr(cfg, "kernel", "auto")
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from ..ops.pallas_kernels import residuals_and_normal_eq_pallas
+
+        return residuals_and_normal_eq_pallas
+    return gauss_newton.residuals_and_normal_eq
+
+
 class TrackResult(NamedTuple):
     """Per-frame tracking output (small: safe to read back every frame)."""
 
@@ -46,6 +59,7 @@ def _track_impl(
     cfg: TrackingConfig,
 ) -> TrackResult:
     levels = cfg.levels
+    irls = _select_irls(cfg)
     T = T_init
     s2i = jnp.asarray(cfg.init_sigma_int**2, jnp.float32)
     s2x = jnp.asarray(cfg.init_sigma_xi**2, jnp.float32)
@@ -55,17 +69,16 @@ def _track_impl(
     for level in range(levels - 1, -1, -1):
         kl, cl = kf[level], cur[level]
         intr_l = intrs[level]
-        jac = gauss_newton.TemplateJacobians(kl.j_int, kl.j_xi)
         n_iters = cfg.iters[level] if level < len(cfg.iters) else cfg.iters[-1]
 
-        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l, jac=jac):
+        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l):
             T, s2i, s2x, _H, _e, _i, _n = carry
-            res = gauss_newton.residuals_and_normal_eq(
+            res = irls(
                 T,
                 kl.intensity,
                 kl.xi,
                 kl.mask,
-                jac,
+                kl.jac,
                 cl.intensity,
                 cl.xi,
                 cl.mask,

@@ -145,5 +145,5 @@ def test_create_and_rebuild_device_keyframe(setup):
         np.asarray(kf2.levels[1].xi), np.asarray(kf.levels[1].xi), atol=1e-6
     )
     np.testing.assert_allclose(
-        np.asarray(kf2.levels[0].j_int), np.asarray(kf.levels[0].j_int), atol=1e-6
+        np.asarray(kf2.levels[0].jac), np.asarray(kf.levels[0].jac), atol=1e-6
     )

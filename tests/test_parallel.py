@@ -58,7 +58,7 @@ def test_spmd_tracker_matches_ground_truth(level1_pair):
     T0 = se3_np.exp(np.array([0.02, -0.015, 0.01, 0.008, -0.006, 0.01])) @ T_gt
     tr = SpmdTracker(mesh, intr_l)
     T, s2i, s2x = tr.track(
-        kf_int, kf_xi, kf_mask, jac.j_int, jac.j_xi,
+        kf_int, kf_xi, kf_mask, jac,
         jnp.asarray(p1.intensity[1]), jnp.asarray(p1.xi[1]),
         jnp.asarray(p1.mask[1], jnp.float32),
         jnp.asarray(T0, jnp.float32), iters=25,
@@ -92,7 +92,7 @@ def test_spmd_matches_single_device(level1_pair):
         mesh = make_mesh(n_dev, "sp")
         tr = SpmdTracker(mesh, intr_l)
         T, _, _ = tr.track(
-            kf_int, kf_xi, kf_mask, jac.j_int, jac.j_xi, *cur,
+            kf_int, kf_xi, kf_mask, jac, *cur,
             jnp.eye(4, dtype=jnp.float32), iters=10,
         )
         results[n_dev] = np.asarray(T, np.float64)
