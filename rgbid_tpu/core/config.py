@@ -50,6 +50,11 @@ class TrackingConfig:
     # IRLS reduction implementation: "xla" (einsum path), "pallas" (fused
     # kernel A'), or "auto" (pallas on TPU, xla elsewhere).
     kernel: str = "auto"
+    # Storage dtype for the (12, H, W) template Jacobians: "bf16" halves
+    # the dominant per-iteration HBM read (~15 MB/iter at VGA); products
+    # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
+    # the stored J at r -> 0) is unchanged. Use "f32" to disable.
+    jac_dtype: str = "bf16"
 
 
 @dataclass(frozen=True)

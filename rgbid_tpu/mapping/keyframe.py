@@ -30,7 +30,7 @@ class DeviceKeyframe(NamedTuple):
 
 
 def _template_levels(
-    int_pyr, xi_pyr, mask_pyr, intr: Intrinsics
+    int_pyr, xi_pyr, mask_pyr, intr: Intrinsics, jac_dtype=jnp.float32
 ) -> Tuple[KeyframeLevel, ...]:
     out = []
     for l in range(len(int_pyr)):
@@ -39,20 +39,23 @@ def _template_levels(
         gx_i, gy_i = image.gradients(int_pyr[l], ones)
         gx_x, gy_x = image.gradients(xi_pyr[l], mask_pyr[l])
         jac = gauss_newton.template_jacobians(
-            gx_i, gy_i, gx_x, gy_x, xi_pyr[l], mask_pyr[l], intr_l
+            gx_i, gy_i, gx_x, gy_x, xi_pyr[l], mask_pyr[l], intr_l, jac_dtype
         )
         out.append(KeyframeLevel(int_pyr[l], xi_pyr[l], mask_pyr[l], jac))
     return tuple(out)
 
 
 def create_device_keyframe(
-    frame: Tuple[FrameLevel, ...], intr: Intrinsics, cfg: FusionConfig
+    frame: Tuple[FrameLevel, ...],
+    intr: Intrinsics,
+    cfg: FusionConfig,
+    jac_dtype=jnp.float32,
 ) -> DeviceKeyframe:
     """Promote a preprocessed frame to a fresh keyframe (variance = sensor)."""
     int_pyr = [l.intensity for l in frame]
     xi_pyr = [l.xi for l in frame]
     mask_pyr = [l.mask for l in frame]
-    levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr)
+    levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype)
     var0 = jnp.where(
         frame[0].mask > 0, cfg.sensor_sigma_xi**2, cfg.max_variance
     ).astype(jnp.float32)
@@ -65,6 +68,7 @@ def rebuild_after_fusion(
     var0: jax.Array,
     mask0: jax.Array,
     intr: Intrinsics,
+    jac_dtype=jnp.float32,
 ) -> DeviceKeyframe:
     """Rebuild the tracking template from the fused level-0 inverse depth.
 
@@ -75,7 +79,7 @@ def rebuild_after_fusion(
     levels = len(kf.levels)
     int_pyr = [l.intensity for l in kf.levels]
     xi_pyr, mask_pyr = image.build_pyramid(xi0, mask0, levels)
-    new_levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr)
+    new_levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype)
     return DeviceKeyframe(levels=new_levels, var=var0)
 
 

@@ -66,7 +66,7 @@ def rho_jacobian(x, y, z):
 
 
 def template_jacobians(
-    gx_int, gy_int, gx_xi, gy_xi, xi, mask, intr: Intrinsics
+    gx_int, gy_int, gx_xi, gy_xi, xi, mask, intr: Intrinsics, dtype=jnp.float32
 ) -> jax.Array:
     """Precompute the constant IC Jacobians for one keyframe pyramid level.
 
@@ -81,7 +81,7 @@ def template_jacobians(
     j_xi = (gx_xi[..., None] * ju + gy_xi[..., None] * jv - rho_jacobian(x, y, z)) * m
     return jnp.concatenate(
         [jnp.moveaxis(j_int, -1, 0), jnp.moveaxis(j_xi, -1, 0)], axis=0
-    )
+    ).astype(dtype)
 
 
 def student_t_sigma2(r2, valid, nu: float, sigma2_init, iters: int):
@@ -143,6 +143,7 @@ def residuals_and_normal_eq(
     # but H entries stay O(1/sigma^2) instead of O(n/sigma^2) ~ 1e12, which
     # keeps the f32 Cholesky well-conditioned on TPU.
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    jac12 = jac12.astype(jnp.float32)  # fused upcast (bf16 storage)
     ji = jac12[:6].reshape(6, -1)
     wi = w_i.reshape(-1) * inv_n
     H = (ji * wi[None, :]) @ ji.T

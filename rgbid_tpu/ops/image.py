@@ -47,8 +47,12 @@ def _conv_sep(img: jax.Array, stride: tuple[int, int]) -> jax.Array:
     """Separable 5-tap binomial blur (zero padding) with optional stride.
 
     Equivalent to blur-then-subsample-at-even-indices when stride == 2.
+    Accepts (H, W) or a batched (B, H, W) stack — the batch goes through
+    ONE conv pair, which matters on TPU where each dispatched op carries a
+    fixed cost (a 4-plane pyramid level is 2 convs instead of 8).
     """
-    x = img[None, None, :, :]
+    batched = img.ndim == 3
+    x = img[:, None] if batched else img[None, None, :, :]
     kv = _BINOMIAL.reshape(1, 1, 5, 1)
     kh = _BINOMIAL.reshape(1, 1, 1, 5)
     x = lax.conv_general_dilated(
@@ -57,7 +61,7 @@ def _conv_sep(img: jax.Array, stride: tuple[int, int]) -> jax.Array:
     x = lax.conv_general_dilated(
         x, kh, window_strides=(1, stride[1]), padding=[(0, 0), (2, 2)]
     )
-    return x[0, 0]
+    return x[:, 0] if batched else x[0, 0]
 
 
 def masked_blur(img: jax.Array, mask: jax.Array, stride: tuple[int, int] = (1, 1)):
@@ -76,6 +80,23 @@ def downsample(img: jax.Array, mask: jax.Array, min_weight: float = 0.25):
     return out, out_mask
 
 
+def downsample_multi(imgs, masks, min_weight: float = 0.25):
+    """Masked downsample of P plane/mask pairs in ONE batched conv pass."""
+    P = len(imgs)
+    stack = jnp.stack([imgs[i] * masks[i] for i in range(P)] + list(masks))
+    blurred = _conv_sep(stack, (2, 2))
+    nums, dens = blurred[:P], blurred[P:]
+    outs, out_masks = [], []
+    for i in range(P):
+        out = jnp.where(dens[i] > 1e-6, nums[i] / jnp.maximum(dens[i], 1e-6), 0.0)
+        sub_mask = masks[i][::2, ::2]
+        outs.append(out)
+        out_masks.append(
+            jnp.logical_and(dens[i] > min_weight, sub_mask > 0.5).astype(jnp.float32)
+        )
+    return outs, out_masks
+
+
 def build_pyramid(img: jax.Array, mask: jax.Array, levels: int):
     """Lists [L0..L_{levels-1}] of (img, mask) — mask is float32 {0,1}."""
     imgs, masks = [img], [mask]
@@ -86,24 +107,53 @@ def build_pyramid(img: jax.Array, mask: jax.Array, levels: int):
     return imgs, masks
 
 
+def build_pyramids_multi(imgs, masks, levels: int):
+    """P joint pyramids with one batched conv pass per level.
+
+    Returns (pyramids, mask_pyramids): lists of per-level lists.
+    """
+    cur_i, cur_m = list(imgs), list(masks)
+    out_i = [cur_i]
+    out_m = [cur_m]
+    for _ in range(levels - 1):
+        cur_i, cur_m = downsample_multi(cur_i, cur_m)
+        out_i.append(cur_i)
+        out_m.append(cur_m)
+    # transpose to per-plane pyramids
+    P = len(imgs)
+    pyrs = [[out_i[l][p] for l in range(levels)] for p in range(P)]
+    mpyrs = [[out_m[l][p] for l in range(levels)] for p in range(P)]
+    return pyrs, mpyrs
+
+
 # K4 -----------------------------------------------------------------------
 
 
 def gradients(img: jax.Array, mask: jax.Array):
-    """(gx, gy) masked central differences (zero at invalid/borders)."""
-    zc = jnp.zeros_like(img[:, :1])
-    zr = jnp.zeros_like(img[:1, :])
+    """(gx, gy) masked central differences (zero at invalid/borders).
+
+    Works on (H, W) planes or batched (..., H, W) stacks (one fused op
+    chain for several planes).
+    """
+    zc = jnp.zeros_like(img[..., :, :1])
+    zr = jnp.zeros_like(img[..., :1, :])
     gx = 0.5 * (
-        jnp.concatenate([img[:, 1:], zc], 1) - jnp.concatenate([zc, img[:, :-1]], 1)
+        jnp.concatenate([img[..., :, 1:], zc], -1)
+        - jnp.concatenate([zc, img[..., :, :-1]], -1)
     )
     gy = 0.5 * (
-        jnp.concatenate([img[1:, :], zr], 0) - jnp.concatenate([zr, img[:-1, :]], 0)
+        jnp.concatenate([img[..., 1:, :], zr], -2)
+        - jnp.concatenate([zr, img[..., :-1, :]], -2)
     )
-    mzc = jnp.zeros_like(mask[:, :1])
-    mzr = jnp.zeros_like(mask[:1, :])
-    ok_x = jnp.concatenate([mask[:, 1:], mzc], 1) * jnp.concatenate([mzc, mask[:, :-1]], 1)
-    ok_y = jnp.concatenate([mask[1:, :], mzr], 0) * jnp.concatenate([mzr, mask[:-1, :]], 0)
+    mzc = jnp.zeros_like(mask[..., :, :1])
+    mzr = jnp.zeros_like(mask[..., :1, :])
+    ok_x = jnp.concatenate([mask[..., :, 1:], mzc], -1) * jnp.concatenate(
+        [mzc, mask[..., :, :-1]], -1
+    )
+    ok_y = jnp.concatenate([mask[..., 1:, :], mzr], -2) * jnp.concatenate(
+        [mzr, mask[..., :-1, :]], -2
+    )
     # Zero the one-pixel border (numpy oracle leaves borders at 0).
-    ok_x = ok_x.at[:, 0].set(0.0).at[:, -1].set(0.0)
-    ok_y = ok_y.at[0, :].set(0.0).at[-1, :].set(0.0)
+    ok_x = ok_x.at[..., :, 0].set(0.0).at[..., :, -1].set(0.0)
+    ok_y = ok_y.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
     return gx * ok_x, gy * ok_y

@@ -114,18 +114,20 @@ def _normal_kernel(
     w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid / s2i
     w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid / s2x
 
+    # Load the 12 Jacobian planes once, upcasting bf16 -> f32 in VMEM.
+    J = [jac_ref[k].astype(jnp.float32) for k in range(12 if use_geometric else 6)]
     sums = []
     # 21 upper-triangular H entries, both channels fused.
     for a, b in _TRI:
-        s = jnp.sum(w_i * jac_ref[a] * jac_ref[b])
+        s = jnp.sum(w_i * J[a] * J[b])
         if use_geometric:
-            s = s + jnp.sum(w_x * jac_ref[6 + a] * jac_ref[6 + b])
+            s = s + jnp.sum(w_x * J[6 + a] * J[6 + b])
         sums.append(s)
     # 6 b entries.
     for a in range(6):
-        s = jnp.sum(w_i * jac_ref[a] * r_i)
+        s = jnp.sum(w_i * J[a] * r_i)
         if use_geometric:
-            s = s + jnp.sum(w_x * jac_ref[6 + a] * r_x)
+            s = s + jnp.sum(w_x * J[6 + a] * r_x)
         sums.append(s)
     # err, inlier count, n_valid.
     sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))

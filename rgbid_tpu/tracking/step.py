@@ -103,6 +103,7 @@ def _process_frame_impl(
 ) -> Tuple[jax.Array, DeviceKeyframe]:
     tcfg, kcfg, fcfg = cfg.tracking, cfg.keyframe, cfg.fusion
     intrs = tuple(level_intrinsics(intr, l) for l in range(tcfg.levels))
+    jac_dtype = jnp.bfloat16 if tcfg.jac_dtype == "bf16" else jnp.float32
 
     rgb_u8, depth_u16 = unpack_frame(packed_u8)
     cur = preprocess_frame(
@@ -162,12 +163,12 @@ def _process_frame_impl(
             intrs[0],
             fcfg,
         )
-        kf2 = rebuild_after_fusion(kf, xi2, var2, mask2, intr)
+        kf2 = rebuild_after_fusion(kf, xi2, var2, mask2, intr, jac_dtype)
         return kf2, n_fused
 
     def switch_branch(operands):
         kf, cur, T, cov = operands
-        kf2 = create_device_keyframe(cur, intr, fcfg)
+        kf2 = create_device_keyframe(cur, intr, fcfg, jac_dtype)
         return kf2, jnp.asarray(0.0, jnp.float32)
 
     def lost_branch(operands):
@@ -206,6 +207,10 @@ class ProcessFrame:
             functools.partial(_process_frame_impl, intr=intr, cfg=cfg)
         )
 
+        jac_dtype = (
+            jnp.bfloat16 if cfg.tracking.jac_dtype == "bf16" else jnp.float32
+        )
+
         def _init(packed):
             rgb, d16 = unpack_frame(packed)
             return create_device_keyframe(
@@ -219,6 +224,7 @@ class ProcessFrame:
                 ),
                 intr,
                 cfg.fusion,
+                jac_dtype,
             )
 
         self._init_kf = jax.jit(_init)

@@ -59,12 +59,17 @@ def save(system: "SlamSystem", path: str) -> None:
         if kf.reloc_planes is not None:
             for k, v in kf.reloc_planes.items():
                 arrays[p + "rp_" + k] = v
-    # Active device keyframe state (flattened pytree).
+    # Active device keyframe state (flattened pytree). bf16 leaves (the
+    # Jacobian planes) are stored as f32 (numpy has no bfloat16) and cast
+    # back on restore.
     if system._kf_state is not None:
         leaves, treedef = jax.tree_util.tree_flatten(system._kf_state)
         meta["kf_state_n_leaves"] = len(leaves)
         for i, leaf in enumerate(leaves):
-            arrays[f"kfstate_{i}"] = np.asarray(leaf)
+            if leaf.dtype == jnp.bfloat16:
+                arrays[f"kfstate_{i}"] = np.asarray(leaf.astype(jnp.float32))
+            else:
+                arrays[f"kfstate_{i}"] = np.asarray(leaf)
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
@@ -111,24 +116,32 @@ def restore(path: str, config=None) -> "SlamSystem":
             OdometryEdge(e["from_id"], e["to_id"], z[f"edge_{i}_T"], z[f"edge_{i}_info"])
         )
     if "kf_state_n_leaves" in meta:
-        # Rebuild the pytree structure from a template of the same config.
-        leaves = [jnp.asarray(z[f"kfstate_{i}"]) for i in range(meta["kf_state_n_leaves"])]
-        template = _kf_state_treedef(system)
+        # Rebuild the pytree structure (and leaf dtypes) from a template of
+        # the same config.
+        dummy_leaves, template = _kf_state_template(system)
+        leaves = [
+            jnp.asarray(z[f"kfstate_{i}"]).astype(d.dtype)
+            for i, d in enumerate(dummy_leaves)
+        ]
         system._kf_state = jax.tree_util.tree_unflatten(template, leaves)
     return system
 
 
-def _kf_state_treedef(system: "SlamSystem"):
-    """Treedef of a DeviceKeyframe for this system's config (via a dummy)."""
+def _kf_state_template(system: "SlamSystem"):
+    """(leaves, treedef) of a DeviceKeyframe for this system's config."""
     from ..mapping.keyframe import create_device_keyframe
     from ..tracking.frames import preprocess_frame
 
     h, w = system.intr.height, system.intr.width
     rgb = jnp.zeros((h, w, 3), jnp.uint8)
     d = jnp.zeros((h, w), jnp.uint16)
+    jac_dtype = (
+        jnp.bfloat16 if system.config.tracking.jac_dtype == "bf16" else jnp.float32
+    )
     dummy = create_device_keyframe(
         preprocess_frame(rgb, d, system.config.tracking.levels),
         system.intr,
         system.config.fusion,
+        jac_dtype,
     )
-    return jax.tree_util.tree_flatten(dummy)[1]
+    return jax.tree_util.tree_flatten(dummy)
