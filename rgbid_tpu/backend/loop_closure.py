@@ -33,6 +33,9 @@ class LoopCloser:
     def __init__(self, intr, cfg: SlamConfig):
         self.cfg = cfg
         b = cfg.backend
+        # Guards the BoW database: inserts happen on the back-end thread,
+        # relocalization queries come from the front-end thread.
+        self.db_lock = threading.Lock()
         self.db = BowDatabase(
             max_words=b.vocab_branching**b.vocab_levels,
             min_score=b.min_score,
@@ -55,8 +58,9 @@ class LoopCloser:
         pts, desc = extract_orb(planes["intensity0_u8"], self.cfg.backend.num_features)
         kf.keypoints, kf.descriptors = pts, desc
 
-        candidates = self.db.query(kf.kf_id, desc)
-        self.db.insert(kf.kf_id, desc)
+        with self.db_lock:
+            candidates = self.db.query(kf.kf_id, desc)
+            self.db.insert(kf.kf_id, desc)
         self.n_queries += 1
         if not candidates:
             return []
@@ -136,6 +140,11 @@ class BackendThread:
     @property
     def num_loop_closures(self) -> int:
         return len(self._loop_edges)
+
+    def add_external_loop_edge(self, edge: dict) -> None:
+        """Register an edge found outside the keyframe pipeline (e.g. the
+        front end's lost-tracking relocalization)."""
+        self._loop_edges.append(edge)
 
     # ------------------------------------------------------------------
     def _run(self) -> None:

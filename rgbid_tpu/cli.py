@@ -43,6 +43,7 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--eval", action="store_true", help="print ATE/RPE vs ground truth")
     ap.add_argument("--voxel", type=float, default=0.01, help="map voxel downsample (m)")
+    ap.add_argument("--viz", action="store_true", help="write trajectory/map PNGs to out-dir")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -132,6 +133,23 @@ def main(argv=None):
         slam.save_trajectory(os.path.join(out_dir, "trajectory.txt"))
         slam.save_map(os.path.join(out_dir, "map.ply"), voxel=args.voxel)
         result["out_dir"] = out_dir
+        if args.viz:
+            from .utils import viz
+
+            trajs = [("estimate", slam.poses())]
+            if gt_poses is not None:
+                import numpy as np
+
+                gt0 = np.linalg.inv(gt_poses[0])
+                trajs.append(("ground truth", [gt0 @ T for T in gt_poses]))
+            viz.plot_trajectory(
+                trajs,
+                os.path.join(out_dir, "trajectory.png"),
+                keyframe_poses=[kf.T_wk for kf in slam.manager.keyframes],
+            )
+            cloud = slam.map_points(voxel=args.voxel)
+            if len(cloud):
+                viz.plot_map_topdown(cloud, os.path.join(out_dir, "map_topdown.png"))
     if args.snapshot:
         from .utils import snapshot
 

@@ -124,6 +124,10 @@ class BackendConfig:
     # scale-invariant and accept garbage alignments on their own).
     max_reloc_sigma_int: float = 0.06
     max_reloc_sigma_xi: float = 0.04
+    # Tracking-loss recovery: after this many consecutive lost frames,
+    # attempt global relocalization against the keyframe BoW database
+    # (the reference's recovery mechanism, SURVEY.md §5).
+    reloc_after_lost: int = 3
     # Pose graph optimization.
     pg_iterations: int = 15
     pg_damping: float = 1e-5

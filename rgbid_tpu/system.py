@@ -55,6 +55,7 @@ class SlamSystem:
         self._trajectory: List[Tuple[float, np.ndarray]] = []
         self._frame_count = 0
         self._lost_count = 0
+        self._relocalized = False
         self.stats: List[dict] = []
 
         # Back end (loop closure + pose graph), optional.
@@ -103,6 +104,18 @@ class SlamSystem:
             self._T_ck = T_init if self._lost_count == 1 else self._T_ck
             self._delta = np.eye(4)
             T_wc = self.T_wk @ se3_np.inv(self._T_ck)
+            # Recovery: after enough consecutive lost frames, try global
+            # relocalization against the keyframe BoW database (the
+            # reference's recovery mechanism).
+            if (
+                self.backend is not None
+                and self._lost_count >= self.config.backend.reloc_after_lost
+            ):
+                T_reloc = self._try_relocalize(rgb_u8, depth_u16, timestamp, packed)
+                if T_reloc is not None:
+                    T_wc = T_reloc
+                    self._lost_count = 0
+                    self._relocalized = True
         else:
             self._lost_count = 0
             T_ck = se3_np.orthonormalize(res_np.T.astype(np.float64))
@@ -120,6 +133,85 @@ class SlamSystem:
             self._delta = se3_np.inv(self._T_wc_prev) @ T_wc
         self._T_wc_prev = T_wc
         self._record(timestamp, T_wc, res_np)
+        return T_wc
+
+    def _try_relocalize(self, rgb_u8, depth_u16, timestamp, packed):
+        """Global relocalization of a lost frame against the BoW database.
+
+        On success: the current frame becomes a fresh keyframe at the
+        recovered world pose, a loop edge to the matched keyframe keeps
+        the pose graph connected, and tracking resumes from identity.
+        Returns the recovered T_wc, or None.
+        """
+        import cv2
+
+        lc = self.backend.loop_closer
+        gray = cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2GRAY)
+        from .backend.features import extract_orb
+
+        _, desc = extract_orb(gray, self.config.backend.num_features)
+        if len(desc) == 0:
+            return None
+        with lc.db_lock:
+            # A huge query id disables the temporal-adjacency exclusion —
+            # when lost, ANY keyframe is a legitimate candidate.
+            candidates = lc.db.query(10**9, desc)
+        if not candidates:
+            return None
+        cand_kfs = [
+            self.manager.keyframes[cid]
+            for cid, _ in candidates
+            if self.manager.keyframes[cid].reloc_planes is not None
+        ]
+        if not cand_kfs:
+            return None
+
+        # Current-frame coarse planes (host numpy; only runs on lost frames).
+        from .reference_cpu import odometry as odo
+
+        level = self.backend.loop_closer.scorer.level
+        pyr = odo.preprocess_frame(
+            rgb_u8,
+            depth_u16,
+            level + 1,
+            self.config.depth_scale,
+            self.config.min_depth,
+            self.config.max_depth,
+        )
+        cur_planes = {
+            "intensity": pyr.intensity[level],
+            "xi": pyr.xi[level],
+            "mask": pyr.mask[level].astype(np.float32),
+        }
+        res = lc.scorer.score_pairs(
+            [kf.reloc_planes for kf in cand_kfs], [cur_planes] * len(cand_kfs)
+        )
+        best, best_err = None, np.inf
+        for i in range(len(cand_kfs)):
+            if lc.scorer.accept(res, i) and float(res.error[i]) < best_err:
+                best, best_err = i, float(res.error[i])
+        if best is None:
+            return None
+
+        cand = cand_kfs[best]
+        T_qc = se3_np.orthonormalize(np.asarray(res.T[best], np.float64))
+        T_wc = cand.T_wk @ se3_np.inv(T_qc)
+
+        # The current frame founds a fresh keyframe at the recovered pose.
+        self._kf_state = self._step.init_keyframe(packed)
+        new = self.manager.new_keyframe(timestamp, T_wc)
+        self._T_ck = np.eye(4)
+        self._delta = np.eye(4)
+        # Loop edge to the matched keyframe keeps the pose graph connected.
+        H = np.asarray(res.H[best], np.float64) * float(res.n_valid[best])
+        self.backend.add_external_loop_edge(
+            {
+                "from_id": cand.kf_id,
+                "to_id": new.kf_id,
+                "T_rel": se3_np.inv(T_qc),
+                "information": 0.5 * (H + H.T),
+            }
+        )
         return T_wc
 
     def _on_keyframe_switch(
@@ -152,7 +244,9 @@ class SlamSystem:
                 n_fused=float(res.n_fused),
                 lost=bool(res.lost > 0.5),
                 switch=bool(res.switch > 0.5),
+                relocalized=self._relocalized,
             )
+        self._relocalized = False
         self.stats.append(rec)
         self._frame_count += 1
 
