@@ -36,6 +36,11 @@ class TrackingConfig:
     init_sigma_xi: float = 0.05
     # Fixed-point iterations of the Student-t scale update per GN iteration.
     sigma_iters: int = 1
+    # "exact": sigma updated from this iteration's residuals before
+    # weighting (oracle semantics, 2 reduction passes). "lagged": weights
+    # use the previous iteration's sigma and the update rides the same
+    # reduction pass (half the dispatches; same fixed point).
+    sigma_mode: str = "lagged"
     # Levenberg damping added to the 6x6 normal equations for safety.
     damping: float = 1e-6
     # Use the inverse-depth geometric residual channel in addition to the

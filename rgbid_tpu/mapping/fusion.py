@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.camera import Intrinsics
 from ..core.config import FusionConfig
-from ..ops.warp import bilinear_sample, warp_points
+from ..ops.warp import bilinear_sample, sample_tracker_planes, warp_points
 
 
 def fuse_inverse_depth(
@@ -38,8 +38,11 @@ def fuse_inverse_depth(
 ):
     """Returns (xi', var', mask', n_fused). All planes (H, W) float32."""
     up, vp, _, _, front = warp_points(kf_xi, kf_mask, T_ck, intr)
-    xi_obs_cur, ok = bilinear_sample(cur_xi, cur_mask, up, vp)
-    valid = front * ok * (xi_obs_cur > 1e-6)
+    # 4 corner gathers for value+mask together (see sample_tracker_planes);
+    # the duplicated xi channel is free relative to extra gather ops.
+    stack = jnp.stack([cur_xi, cur_xi, cur_mask])
+    xi_obs_cur, _, mask_ok, inb = sample_tracker_planes(stack, up, vp)
+    valid = front * inb * mask_ok * (xi_obs_cur > 1e-6)
 
     zc = 1.0 / jnp.maximum(xi_obs_cur, 1e-6)
     dir_x = (up - intr.cx) * (1.0 / intr.fx)

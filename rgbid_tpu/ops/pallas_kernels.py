@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import Intrinsics
 from .gauss_newton import IrlsResult
-from .warp import bilinear_sample, warp_points
+from .warp import bilinear_sample, sample_tracker_planes, warp_points
 
 _TRI = [(a, b) for a in range(6) for b in range(a, 6)]  # 21 upper-tri pairs
 
@@ -133,8 +133,13 @@ def _normal_kernel(
     sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))
     sums.append(jnp.sum(valid * (r_i * r_i < gate2 * s2i)))
     sums.append(jnp.sum(valid))
-    partial = jnp.stack(sums)  # (30,)
-    out_ref[0, 0:30] = out_ref[0, 0:30] + partial
+    # Student-t scale sufficient statistics (for the next iteration's
+    # lagged sigma update): sum of w0(s2_old) * r^2, w0 WITHOUT the 1/s2
+    # normalization.
+    sums.append(jnp.sum(valid * ((nu + 1.0) / (nu + r_i * r_i / s2i)) * r_i * r_i))
+    sums.append(jnp.sum(valid * ((nu + 1.0) / (nu + r_x * r_x / s2x)) * r_x * r_x))
+    partial = jnp.stack(sums)  # (32,)
+    out_ref[0, 0:32] = out_ref[0, 0:32] + partial
 
 
 def normal_eq(
@@ -169,7 +174,7 @@ def normal_eq(
         H = H.at[a, b].set(tri[k])
         H = H.at[b, a].set(tri[k])
     b_vec = out[0, 21:27]
-    return H, b_vec, out[0, 27], out[0, 28], out[0, 29]
+    return H, b_vec, out[0, 27], out[0, 28], out[0, 29], out[0, 30], out[0, 31]
 
 
 # ---------------------------------------------------------------------------
@@ -192,24 +197,40 @@ def residuals_and_normal_eq_pallas(
     sigma_iters: int,
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
+    sigma_mode: str = "exact",
 ) -> IrlsResult:
-    """Identical contract to the XLA twin; fused Pallas reductions."""
+    """Identical contract to the XLA twin; fused Pallas reductions.
+
+    sigma_mode "exact": update sigma from THIS iteration's residuals
+    before weighting (two kernel passes — matches the numpy oracle).
+    sigma_mode "lagged": weights use the incoming sigma and the updated
+    sigma (same sufficient statistics, ONE kernel pass) is returned for
+    the next iteration — standard IRLS interleaving with the same fixed
+    point, at half the dispatches.
+    """
     up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
-    i_s, ok_i = bilinear_sample(cur_int, None, up, vp)
-    xi_s, ok_x = bilinear_sample(cur_xi, cur_mask, up, vp)
-    valid = valid0 * ok_i * ok_x
+    # One 4-corner-gather pass for all three current-frame planes.
+    cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
+    i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
+    valid = valid0 * inb * mask_ok
 
-    for _ in range(max(sigma_iters, 1)):
-        swi, swx, n = sigma_stats(i_s, xi_s, rho, kf_int, valid, sigma2_int, sigma2_xi, nu)
-        n = jnp.maximum(n, 1.0)
-        sigma2_int = jnp.maximum(swi / n, 1e-12)
-        sigma2_xi = jnp.maximum(swx / n, 1e-12)
+    if sigma_mode == "exact":
+        for _ in range(max(sigma_iters, 1)):
+            swi, swx, n = sigma_stats(
+                i_s, xi_s, rho, kf_int, valid, sigma2_int, sigma2_xi, nu
+            )
+            n = jnp.maximum(n, 1.0)
+            sigma2_int = jnp.maximum(swi / n, 1e-12)
+            sigma2_xi = jnp.maximum(swx / n, 1e-12)
 
-    H, b, err_sum, inl_sum, n_valid = normal_eq(
+    H, b, err_sum, inl_sum, n_valid, swi, swx = normal_eq(
         i_s, xi_s, rho, kf_int, valid, jac12, sigma2_int, sigma2_xi,
         nu, gate_sigmas, use_geometric,
     )
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    if sigma_mode != "exact":
+        sigma2_int = jnp.maximum(swi * inv_n, 1e-12)
+        sigma2_xi = jnp.maximum(swx * inv_n, 1e-12)
     return IrlsResult(
         H=H * inv_n,
         b=b * inv_n,

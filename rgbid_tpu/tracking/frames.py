@@ -48,11 +48,12 @@ def preprocess_frame(
     """
     intensity = image.intensity_from_rgb(rgb_u8)
     xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
-    ones = jnp.ones_like(intensity)
     # NOTE: the batched build_pyramids_multi variant is a net loss on the
     # emulated sandbox TPU (stack copies cost more than the saved conv
     # dispatches); on real hardware prefer the batched path.
-    ints, _ = image.build_pyramid(intensity, ones, levels)
+    # Intensity is defined everywhere -> unmasked pyramid with constant
+    # border renormalization (half the convs of the masked path).
+    ints = image.build_pyramid_unmasked(intensity, levels)
     xis, masks = image.build_pyramid(xi, mask, levels)
     return tuple(
         FrameLevel(ints[l], xis[l], masks[l]) for l in range(levels)

@@ -89,6 +89,7 @@ def _track_impl(
                 cfg.sigma_iters,
                 cfg.use_geometric,
                 cfg.gate_sigmas,
+                getattr(cfg, "sigma_mode", "exact"),
             )
             T_new, _ = gauss_newton.ic_update(T, res.H, res.b, cfg.damping, res.n_valid)
             return (
