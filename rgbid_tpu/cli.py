@@ -36,6 +36,11 @@ def main(argv=None):
     src.add_argument("--synthetic", type=int, metavar="N", help="render N synthetic frames")
     ap.add_argument("--motion", default="orbit", choices=["orbit", "loop", "static"])
     ap.add_argument("--config", metavar="JSON", help="config file (JSON)")
+    ap.add_argument(
+        "--intrinsics",
+        metavar="fx,fy,cx,cy[,w,h]",
+        help="override camera intrinsics (defaults: TUM per-sequence / synthetic)",
+    )
     ap.add_argument("--set", action="append", metavar="KEY=VAL", help="config override (dotted)")
     ap.add_argument("--out-dir", default=None, help="write trajectory/map/log here")
     ap.add_argument("--snapshot", default=None, help="write a full-state snapshot here")
@@ -64,15 +69,23 @@ def main(argv=None):
 
     # Frame source.
     gt_poses = None
+    custom_intr = None
+    if args.intrinsics:
+        from .core.camera import Intrinsics
+
+        vals = [float(x) for x in args.intrinsics.split(",")]
+        if len(vals) == 4:
+            vals += [640, 480]
+        custom_intr = Intrinsics(vals[0], vals[1], vals[2], vals[3], int(vals[4]), int(vals[5]))
     if args.tum:
-        seq = TumSequence(args.tum)
+        seq = TumSequence(args.tum, intrinsics=custom_intr)
         intr = seq.intrinsics
         frames = seq.frames()
         n_total = len(seq)
     else:
         from .core.camera import DEFAULT
 
-        intr = DEFAULT
+        intr = custom_intr or DEFAULT
         sseq = synth.generate_sequence(
             n_frames=args.synthetic, intr=intr, motion=args.motion, xi_noise_sigma=0.003
         )

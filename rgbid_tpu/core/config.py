@@ -103,6 +103,9 @@ class FusionConfig:
     # assumes independent pixels and is far too confident).
     pose_trans_sigma: float = 0.003  # meters
     pose_rot_sigma: float = 0.002  # radians
+    # Fusion implementation: "xla", "pallas" (fused kernel B), or "auto"
+    # (pallas on TPU, xla elsewhere).
+    kernel: str = "auto"
 
 
 @dataclass(frozen=True)

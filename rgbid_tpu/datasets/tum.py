@@ -91,6 +91,27 @@ class TumSequence:
         self._items = [
             (rgb_list[i][0], rgb_list[i][1][0], depth_list[j][1][0]) for i, j in matches
         ]
+        # Adapt the calibration to the actual image size (sequences exported
+        # at non-VGA resolutions keep the same field of view).
+        if len(self._items) > 0:
+            probe = cv2.imread(
+                os.path.join(seq_dir, self._items[0][2]), cv2.IMREAD_UNCHANGED
+            )
+            if probe is not None and (
+                probe.shape[0] != self.intrinsics.height
+                or probe.shape[1] != self.intrinsics.width
+            ):
+                sy = probe.shape[0] / self.intrinsics.height
+                sx = probe.shape[1] / self.intrinsics.width
+                i = self.intrinsics
+                self.intrinsics = Intrinsics(
+                    fx=i.fx * sx,
+                    fy=i.fy * sy,
+                    cx=(i.cx + 0.5) * sx - 0.5,
+                    cy=(i.cy + 0.5) * sy - 0.5,
+                    width=probe.shape[1],
+                    height=probe.shape[0],
+                )
         gt_path = os.path.join(seq_dir, "groundtruth.txt")
         self.groundtruth: Optional[np.ndarray] = None
         if os.path.exists(gt_path):

@@ -44,6 +44,16 @@ def fuse_inverse_depth(
     xi_obs_cur, _, mask_ok, inb = sample_tracker_planes(stack, up, vp)
     valid = front * inb * mask_ok * (xi_obs_cur > 1e-6)
 
+    kernel = getattr(cfg, "kernel", "xla")
+    if kernel == "pallas" or (kernel == "auto" and jax.default_backend() == "tpu"):
+        from ..ops.pallas_kernels import fusion_pallas
+
+        xi_new, var_new, n_fused = fusion_pallas(
+            up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask,
+            _rigid_inverse(T_ck), pose_cov, intr, cfg,
+        )
+        return xi_new, var_new, kf_mask, n_fused
+
     zc = 1.0 / jnp.maximum(xi_obs_cur, 1e-6)
     dir_x = (up - intr.cx) * (1.0 / intr.fx)
     dir_y = (vp - intr.cy) * (1.0 / intr.fy)

@@ -240,3 +240,121 @@ def residuals_and_normal_eq_pallas(
         n_valid=n_valid,
         inlier_frac=inl_sum * inv_n,
     )
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: fused inverse-depth fusion + uncertainty propagation (K8+K9)
+
+
+def _fusion_kernel(
+    par_ref, up_ref, vp_ref, xi_obs_ref, valid_ref, kf_xi_ref, kf_var_ref,
+    kf_mask_ref, xi_out_ref, var_out_ref, n_ref,
+):
+    """Gather-free half of the fusion pipeline (one VPU pass).
+
+    par layout (SMEM, (1, 32) f32):
+      0:9   R_kc row-major, 9:12 t_kc,
+      12:15 cov3 row 0, 15:18 row 1, 18:21 row 2 (translation/rot-xy block
+            of the pose covariance in the [z, wx, wy] subspace used by the
+            jacobian J = -xi^2 [0,0,1,Yk,-Xk,0]),
+      21 inv_fx, 22 inv_fy, 23 cx, 24 cy,
+      25 sensor_var, 26 gate_k^2, 27 min_var, 28 max_var.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        n_ref[:] = jnp.zeros_like(n_ref)
+
+    p = par_ref
+    up = up_ref[:]
+    vp = vp_ref[:]
+    xi_obs_cur = xi_obs_ref[:]
+    valid = valid_ref[:] * (xi_obs_cur > 1e-6)
+    kf_xi = kf_xi_ref[:]
+    kf_var = kf_var_ref[:]
+    kf_mask = kf_mask_ref[:]
+
+    zc = 1.0 / jnp.maximum(xi_obs_cur, 1e-6)
+    dir_x = (up - p[0, 23]) * p[0, 21]
+    dir_y = (vp - p[0, 24]) * p[0, 22]
+    Xk = (p[0, 0] * dir_x + p[0, 1] * dir_y + p[0, 2]) * zc + p[0, 9]
+    Yk = (p[0, 3] * dir_x + p[0, 4] * dir_y + p[0, 5]) * zc + p[0, 10]
+    Zk = (p[0, 6] * dir_x + p[0, 7] * dir_y + p[0, 8]) * zc + p[0, 11]
+    valid = valid * (Zk > 1e-6)
+    xi_obs_kf = jnp.where(valid > 0, 1.0 / jnp.maximum(Zk, 1e-6), 0.0)
+
+    r3dir = p[0, 6] * dir_x + p[0, 7] * dir_y + p[0, 8]
+    dxi = r3dir / (jnp.maximum(Zk, 1e-6) ** 2 * jnp.maximum(xi_obs_cur, 1e-6) ** 2)
+    var_sensor = dxi * dxi * p[0, 25]
+    xi2 = xi_obs_kf * xi_obs_kf
+    j2, j3, j4 = -xi2, -xi2 * Yk, xi2 * Xk
+    var_pose = (
+        j2 * (p[0, 12] * j2 + p[0, 13] * j3 + p[0, 14] * j4)
+        + j3 * (p[0, 15] * j2 + p[0, 16] * j3 + p[0, 17] * j4)
+        + j4 * (p[0, 18] * j2 + p[0, 19] * j3 + p[0, 20] * j4)
+    )
+    var_obs = jnp.maximum(var_sensor + var_pose, p[0, 27])
+
+    resid = xi_obs_kf - kf_xi
+    gate = (resid * resid <= p[0, 26] * (kf_var + var_obs)).astype(jnp.float32)
+    fuse_mask = valid * kf_mask * gate
+    k_gain = kf_var / jnp.maximum(kf_var + var_obs, 1e-12)
+    xi_new = jnp.where(fuse_mask > 0, kf_xi + k_gain * resid, kf_xi)
+    var_new = jnp.where(fuse_mask > 0, (1.0 - k_gain) * kf_var, kf_var)
+    xi_out_ref[:] = xi_new
+    var_out_ref[:] = jnp.clip(var_new, p[0, 27], p[0, 28])
+    # Vector store (Mosaic cannot store scalars to VMEM on this platform).
+    n_ref[0, 0:1] = n_ref[0, 0:1] + jnp.sum(fuse_mask)[None]
+
+
+def fusion_pallas(
+    up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, T_kc, pose_cov, intr, cfg
+):
+    """Kernel-B wrapper (pre-gathered inputs). Returns (xi', var', n_fused)."""
+    h, w = kf_xi.shape
+    th = _tile_rows(h)
+    grid = h // th
+    spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    R, t = T_kc[:3, :3], T_kc[:3, 3]
+    par = jnp.concatenate(
+        [
+            R.reshape(-1),
+            t,
+            pose_cov[2:5, 2:5].reshape(-1),
+            jnp.asarray(
+                [
+                    1.0 / intr.fx,
+                    1.0 / intr.fy,
+                    intr.cx,
+                    intr.cy,
+                    cfg.sensor_sigma_xi**2,
+                    cfg.gate_k**2,
+                    cfg.min_variance,
+                    cfg.max_variance,
+                ],
+                jnp.float32,
+            ),
+            jnp.zeros(3, jnp.float32),
+        ]
+    ).reshape(1, 32)
+    xi_new, var_new, n = pl.pallas_call(
+        _fusion_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec, spec, spec, spec, spec, spec, spec,
+        ],
+        out_specs=(
+            spec,
+            spec,
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask)
+    return xi_new, var_new, n[0, 0]

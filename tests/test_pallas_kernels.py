@@ -82,3 +82,28 @@ def test_tracker_with_pallas_kernel_matches(setup):
         err = se3_np.log(se3_np.inv(T_gt) @ poses[kernel])
         assert np.linalg.norm(err) < 2e-3, kernel
     np.testing.assert_allclose(poses["pallas"], poses["xla"], atol=1e-4)
+
+
+def test_fusion_kernel_b_matches_xla(setup):
+    """Pallas kernel B (fusion) vs the XLA fusion path."""
+    import dataclasses
+
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.mapping.fusion import fuse_inverse_depth
+    from rgbid_tpu.reference_cpu import odometry as odo
+
+    f0, f1, T_gt = setup
+    kf_xi, kf_mask = odo.inverse_depth_from_u16(f0[1])
+    cur_xi, cur_mask = odo.inverse_depth_from_u16(f1[1])
+    kf_var = np.full_like(kf_xi, 6.4e-5)
+    cov = np.diag([1e-6] * 3 + [1e-7] * 3).astype(np.float32)
+    args = lambda cfg: (
+        jnp.asarray(kf_xi), jnp.asarray(kf_var), jnp.asarray(kf_mask, jnp.float32),
+        jnp.asarray(cur_xi), jnp.asarray(cur_mask, jnp.float32),
+        jnp.asarray(T_gt, jnp.float32), jnp.asarray(cov), INTR, cfg,
+    )
+    xla = fuse_inverse_depth(*args(FusionConfig(kernel="xla")))
+    pal = fuse_inverse_depth(*args(FusionConfig(kernel="pallas")))
+    np.testing.assert_allclose(np.asarray(pal[0]), np.asarray(xla[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pal[1]), np.asarray(xla[1]), atol=1e-9)
+    assert abs(float(pal[3]) - float(xla[3])) <= 2.0
