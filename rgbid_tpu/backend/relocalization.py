@@ -38,11 +38,14 @@ def _align_level(t_int, t_xi, t_mask, c_int, c_xi, c_mask, carry_in, intr_l, nu,
     gx_i, gy_i = image.gradients(t_int, ones)
     gx_x, gy_x = image.gradients(t_xi, t_mask)
     jac = gauss_newton.template_jacobians(gx_i, gy_i, gx_x, gy_x, t_xi, t_mask, intr_l)
+    from ..ops.warp import backproject_grid
+
+    t_points = backproject_grid(t_xi, intr_l)
 
     def body(_, carry):
         T, s2i, s2x, _H, _e, _i, _n = carry
         res = gauss_newton.residuals_and_normal_eq(
-            T, t_int, t_xi, t_mask, jac, c_int, c_xi, c_mask,
+            T, t_int, t_points, t_mask, jac, c_int, c_xi, c_mask,
             intr_l, nu, s2i, s2x, sigma_iters,
         )
         T_new, _ = gauss_newton.ic_update(T, res.H, res.b, 1e-6, res.n_valid)

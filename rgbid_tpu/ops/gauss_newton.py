@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.camera import Intrinsics
-from .warp import backproject_grid, bilinear_sample, sample_tracker_planes, warp_points
+from .warp import backproject_grid, bilinear_sample, sample_tracker_planes, transform_project, warp_points
 
 
 # Template Jacobians are stored as ONE (12, H, W) array: planes 0-5 are the
@@ -107,7 +107,7 @@ class IrlsResult(NamedTuple):
 def residuals_and_normal_eq(
     T: jax.Array,
     kf_int: jax.Array,
-    kf_xi: jax.Array,
+    kf_points: tuple,
     kf_mask: jax.Array,
     jac12: jax.Array,
     cur_int: jax.Array,
@@ -129,11 +129,12 @@ def residuals_and_normal_eq(
     the Pallas twin — "lagged" weights with the incoming sigma and emits
     the updated sigma for the next iteration.
     """
-    up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
+    Px, Py, Pz = kf_points
+    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     # One 4-corner-gather pass for all three current-frame planes.
     cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
     i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
-    valid = valid0 * inb * mask_ok
+    valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
 

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import Intrinsics
 from .gauss_newton import IrlsResult
-from .warp import bilinear_sample, sample_tracker_planes, warp_points
+from .warp import bilinear_sample, sample_tracker_planes, transform_project, warp_points
 
 _TRI = [(a, b) for a in range(6) for b in range(a, 6)]  # 21 upper-tri pairs
 
@@ -184,7 +184,7 @@ def normal_eq(
 def residuals_and_normal_eq_pallas(
     T: jax.Array,
     kf_int: jax.Array,
-    kf_xi: jax.Array,
+    kf_points: tuple,
     kf_mask: jax.Array,
     jac12: jax.Array,
     cur_int: jax.Array,
@@ -208,11 +208,12 @@ def residuals_and_normal_eq_pallas(
     the next iteration — standard IRLS interleaving with the same fixed
     point, at half the dispatches.
     """
-    up, vp, rho, _, valid0 = warp_points(kf_xi, kf_mask, T, intr)
+    Px, Py, Pz = kf_points
+    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     # One 4-corner-gather pass for all three current-frame planes.
     cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
     i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
-    valid = valid0 * inb * mask_ok
+    valid = kf_mask * front * inb * mask_ok
 
     if sigma_mode == "exact":
         for _ in range(max(sigma_iters, 1)):

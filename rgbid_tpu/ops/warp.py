@@ -32,6 +32,21 @@ def backproject_grid(xi: jax.Array, intr: Intrinsics):
     return x, y, z
 
 
+def transform_project(Px, Py, Pz, T: jax.Array, intr: Intrinsics):
+    """Project precomputed template points through T (loop-variant half of
+    warp_points — the backprojection P = dir * z is constant across IRLS
+    iterations and should be hoisted out of the loop by the caller)."""
+    R, t = T[:3, :3], T[:3, 3]
+    xp = R[0, 0] * Px + R[0, 1] * Py + R[0, 2] * Pz + t[0]
+    yp = R[1, 0] * Px + R[1, 1] * Py + R[1, 2] * Pz + t[1]
+    zp = R[2, 0] * Px + R[2, 1] * Py + R[2, 2] * Pz + t[2]
+    front = (zp > 1e-6).astype(jnp.float32)
+    rho = 1.0 / jnp.maximum(zp, 1e-6)
+    up = intr.fx * xp * rho + intr.cx
+    vp = intr.fy * yp * rho + intr.cy
+    return up, vp, rho, front
+
+
 def warp_points(xi_ref: jax.Array, mask_ref: jax.Array, T: jax.Array, intr: Intrinsics):
     """Warp every reference pixel into the current frame.
 

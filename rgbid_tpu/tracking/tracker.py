@@ -66,17 +66,21 @@ def _track_impl(
     errors, inliers, nvalids = [], [], []
     H_last = jnp.eye(6, dtype=jnp.float32)
 
+    from ..ops.warp import backproject_grid
+
     for level in range(levels - 1, -1, -1):
         kl, cl = kf[level], cur[level]
         intr_l = intrs[level]
         n_iters = cfg.iters[level] if level < len(cfg.iters) else cfg.iters[-1]
+        # Loop-invariant backprojection: hoisted out of the IRLS loop.
+        kf_points = backproject_grid(kl.xi, intr_l)
 
-        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l):
+        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points):
             T, s2i, s2x, _H, _e, _i, _n = carry
             res = irls(
                 T,
                 kl.intensity,
-                kl.xi,
+                kf_points,
                 kl.mask,
                 kl.jac,
                 cl.intensity,

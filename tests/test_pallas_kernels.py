@@ -46,9 +46,12 @@ def test_pallas_matches_xla_irls(setup, level, use_geometric):
     gx_x, gy_x = image.gradients(kf_xi, kf_mask)
     jac = gauss_newton.template_jacobians(gx_i, gy_i, gx_x, gy_x, kf_xi, kf_mask, intr_l)
 
+    from rgbid_tpu.ops.warp import backproject_grid
+
+    kf_points = backproject_grid(kf_xi, intr_l)
     args = (
         jnp.asarray(T_gt, jnp.float32),
-        kf_int, kf_xi, kf_mask, jac,
+        kf_int, kf_points, kf_mask, jac,
         jnp.asarray(p1.intensity[level]),
         jnp.asarray(p1.xi[level]),
         jnp.asarray(p1.mask[level], jnp.float32),
