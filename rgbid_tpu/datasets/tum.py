@@ -3,10 +3,10 @@
 TPU-native rebuild of the reference's dataset reader (SURVEY.md §2.1
 "Dataset reader": parses rgb.txt/depth.txt, associates timestamps by
 nearest neighbor within 20 ms, loads 8-bit RGB + 16-bit depth PNGs with
-depth scale 1/5000 m). Also parses groundtruth.txt for evaluation.
-
-The association algorithm reimplements the TUM toolkit's ``associate.py``
-greedy best-match policy.
+depth scale 1/5000 m). Also parses groundtruth.txt for evaluation, and
+applies radial/tangential undistortion (K2) on the host: bilinear remap
+for RGB, NEAREST remap for depth (bilinear would blend depth across
+discontinuities and fabricate geometry).
 """
 
 from __future__ import annotations
@@ -19,6 +19,23 @@ import numpy as np
 
 from ..core.camera import TUM_FR1, TUM_FR2, TUM_FR3, DEFAULT, Intrinsics
 from . import Frame
+
+# Standard TUM RGB-D distortion coefficients (k1, k2, p1, p2, k3) for the
+# factory calibrations above; freiburg3 sequences ship pre-undistorted.
+TUM_DISTORTION = {
+    "freiburg1": np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633]),
+    "freiburg2": np.array([0.2312, -0.7849, -0.0033, -0.0001, 0.9172]),
+    "freiburg3": np.zeros(5),
+}
+
+
+def guess_distortion(seq_dir: str):
+    name = os.path.basename(os.path.normpath(seq_dir))
+    for key, coeffs in TUM_DISTORTION.items():
+        short = "fr" + key[-1]
+        if key in name or short in name:
+            return coeffs
+    return np.zeros(5)
 
 
 def _read_file_list(path: str) -> List[Tuple[float, List[str]]]:
@@ -81,10 +98,17 @@ class TumSequence:
         intrinsics: Optional[Intrinsics] = None,
         max_difference: float = 0.02,
         depth_scale: float = 5000.0,
+        distortion: Optional[np.ndarray] = None,
+        undistort: bool = True,
     ):
         self.dir = seq_dir
         self.intrinsics = intrinsics or guess_intrinsics(seq_dir)
         self.depth_scale = depth_scale
+        self.distortion = (
+            distortion if distortion is not None else guess_distortion(seq_dir)
+        )
+        self.undistort = undistort and np.any(np.abs(self.distortion) > 1e-12)
+        self._maps = None
         rgb_list = _read_file_list(os.path.join(seq_dir, "rgb.txt"))
         depth_list = _read_file_list(os.path.join(seq_dir, "depth.txt"))
         matches = associate(rgb_list, depth_list, max_difference)
@@ -124,6 +148,15 @@ class TumSequence:
     def __len__(self) -> int:
         return len(self._items)
 
+    def _undistort_maps(self, shape):
+        if self._maps is None:
+            i = self.intrinsics
+            K = np.array([[i.fx, 0, i.cx], [0, i.fy, i.cy], [0, 0, 1]])
+            self._maps = cv2.initUndistortRectifyMap(
+                K, self.distortion, None, K, (shape[1], shape[0]), cv2.CV_32FC1
+            )
+        return self._maps
+
     def __getitem__(self, idx: int) -> Frame:
         t, rgb_rel, depth_rel = self._items[idx]
         rgb = cv2.imread(os.path.join(self.dir, rgb_rel), cv2.IMREAD_COLOR)
@@ -133,7 +166,13 @@ class TumSequence:
         depth = cv2.imread(os.path.join(self.dir, depth_rel), cv2.IMREAD_UNCHANGED)
         if depth is None:
             raise IOError(f"cannot read {depth_rel}")
-        return Frame(t, rgb, depth.astype(np.uint16))
+        depth = depth.astype(np.uint16)
+        if self.undistort:
+            m1, m2 = self._undistort_maps(depth.shape)
+            rgb = cv2.remap(rgb, m1, m2, cv2.INTER_LINEAR)
+            # NEAREST for depth: bilinear would invent geometry at edges.
+            depth = cv2.remap(depth, m1, m2, cv2.INTER_NEAREST)
+        return Frame(t, rgb, depth)
 
     def frames(self) -> Iterator[Frame]:
         for i in range(len(self)):

