@@ -6,7 +6,7 @@ images feeding the BoW database (SURVEY.md §2.1 "Loop detector").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

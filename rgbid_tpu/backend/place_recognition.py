@@ -12,7 +12,7 @@ exclusion — the same candidate-gating policy as the reference.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ in-program; at coarse resolution that is negligible).
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -90,8 +90,6 @@ def read_ply(path: str) -> np.ndarray:
 
 def write_tum_trajectory(path: str, rows: List[Tuple[float, np.ndarray]]) -> None:
     """rows: (timestamp, T_wc 4x4) -> TUM format file."""
-    from ..reference_cpu import se3_np  # numpy quaternion via rotation
-
     with open(path, "w") as f:
         f.write("# timestamp tx ty tz qx qy qz qw\n")
         for t, T in rows:

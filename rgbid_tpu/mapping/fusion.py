@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.camera import Intrinsics
 from ..core.config import FusionConfig
-from ..ops.warp import bilinear_sample, sample_tracker_planes, warp_points
+from ..ops.warp import sample_tracker_planes, warp_points
 
 
 def fuse_inverse_depth(

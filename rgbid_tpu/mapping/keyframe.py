@@ -9,7 +9,7 @@ point cloud, BoW descriptor. Here the dense planes live on device
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
 import jax

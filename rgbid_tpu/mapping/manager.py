@@ -7,7 +7,7 @@ retiring keyframes (cloud extraction) and hands them to the back end.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 import numpy as np

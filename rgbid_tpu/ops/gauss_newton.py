@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.camera import Intrinsics
-from .warp import backproject_grid, bilinear_sample, sample_tracker_planes, transform_project, warp_points
+from .warp import backproject_grid, sample_tracker_planes, transform_project
 
 
 # Template Jacobians are stored as ONE (12, H, W) array: planes 0-5 are the

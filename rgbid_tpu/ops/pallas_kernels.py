@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import Intrinsics
 from .gauss_newton import IrlsResult
-from .warp import bilinear_sample, sample_tracker_planes, transform_project, warp_points
+from .warp import sample_tracker_planes, transform_project
 
 _TRI = [(a, b) for a in range(6) for b in range(a, 6)]  # 21 upper-tri pairs
 

@@ -12,8 +12,6 @@ axis, let collectives carry only the reduced statistics.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

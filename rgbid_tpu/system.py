@@ -13,9 +13,6 @@ the front-end thread's queue (device work stays on one thread).
 
 from __future__ import annotations
 
-import queue
-import threading
-import time
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -24,7 +21,7 @@ import numpy as np
 from .core.camera import Intrinsics
 from .core.config import SlamConfig
 from .mapping.export import assemble_map, write_ply, write_tum_trajectory
-from .mapping.keyframe import DeviceKeyframe, Keyframe
+from .mapping.keyframe import DeviceKeyframe
 from .mapping.manager import KeyframeManager
 from .reference_cpu import se3_np
 from .tracking.step import ProcessFrame, StepResult, pack_frame
@@ -74,6 +71,9 @@ class SlamSystem:
         self, rgb_u8: np.ndarray, depth_u16: np.ndarray, timestamp: float
     ) -> np.ndarray:
         """Track one frame; returns the world camera pose T_wc (4x4)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
 
         if self._kf_state is None:
@@ -133,6 +133,9 @@ class SlamSystem:
             self._delta = se3_np.inv(self._T_wc_prev) @ T_wc
         self._T_wc_prev = T_wc
         self._record(timestamp, T_wc, res_np)
+        # Wall time incl. upload + device step + readback (the readback is
+        # a real device sync on this platform; block_until_ready is not).
+        self.stats[-1]["ms"] = round((_time.perf_counter() - _t0) * 1e3, 2)
         return T_wc
 
     def _try_relocalize(self, rgb_u8, depth_u16, timestamp, packed):

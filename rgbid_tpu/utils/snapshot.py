@@ -10,7 +10,6 @@ single .npz; `restore` reconstructs a SlamSystem that continues tracking.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import TYPE_CHECKING
 

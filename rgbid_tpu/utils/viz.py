@@ -9,7 +9,6 @@ trajectory / map figures via matplotlib (Agg backend).
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Sequence, Tuple
 
 import cv2
