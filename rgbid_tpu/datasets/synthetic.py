@@ -126,7 +126,7 @@ def render_frame(
         # t on the infinite plane; mask out near-parallel rays.
         t = np.where(np.abs(denom) > 1e-9, ((r_.p0 - o) @ n) / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
         valid = (t > 0.05) & np.isfinite(t)
-        p = o + d_w * t[..., None]  # world hit points
+        p = o + d_w * np.where(np.isfinite(t), t, 0.0)[..., None]  # world hit points
         rel = p - r_.p0
         uu, vv = r_.eu, r_.ev
         # Solve rel = a*eu + b*ev in the plane (2x2 Gram system).
@@ -135,6 +135,10 @@ def render_frame(
         det = g11 * g22 - g12 * g12
         a = (g22 * r1 - g12 * r2) / det
         b = (g11 * r2 - g12 * r1) / det
+        # Rays parallel to the plane have t = inf -> NaN plane coords;
+        # sanitize before they reach the integer texture indexing.
+        a = np.nan_to_num(a, nan=-1.0, posinf=-1.0, neginf=-1.0)
+        b = np.nan_to_num(b, nan=-1.0, posinf=-1.0, neginf=-1.0)
         inside = valid & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1) & (t < depth)
         if not inside.any():
             continue

@@ -39,11 +39,28 @@ def _interpret() -> bool:
 
 
 def _tile_rows(h: int) -> int:
-    """Row-tile height: divides h, multiple of 8 when possible, ~<=120."""
+    """Row-tile height: divides h, multiple of 8 when possible, ~<=120.
+
+    Callers guarantee h % 8 == 0 via _pad_rows, so the final fallback of 8
+    always divides and a full-height (VMEM-overflowing) block never occurs.
+    """
     for t in (120, 96, 80, 64, 60, 48, 40, 32, 24, 16, 8):
         if h % t == 0:
             return t
     return h
+
+
+def _pad_rows(arrs, h):
+    """Zero-pad (…, H, W) planes to H multiple of 8 (zero rows carry
+    valid=0 and contribute nothing to any reduction)."""
+    pad = (-h) % 8
+    if pad == 0:
+        return arrs, h
+    out = []
+    for a in arrs:
+        widths = [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)]
+        out.append(jnp.pad(a, widths))
+    return out, h + pad
 
 
 # ---------------------------------------------------------------------------
@@ -74,6 +91,7 @@ def _sigma_kernel(s2_ref, i_s_ref, xi_s_ref, rho_ref, kf_int_ref, valid_ref, out
 def sigma_stats(i_s, xi_s, rho, kf_int, valid, s2i, s2x, nu: float):
     """Returns (sum w(s2)*r_i^2, sum w(s2)*r_x^2, n_valid) over all pixels."""
     h, w = i_s.shape
+    (i_s, xi_s, rho, kf_int, valid), h = _pad_rows([i_s, xi_s, rho, kf_int, valid], h)
     th = _tile_rows(h)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -149,6 +167,9 @@ def normal_eq(
     """Fused weights + J^T W J / J^T W r reduction. Returns raw sums:
     (H (6,6), b (6,), err_sum, inlier_sum, n_valid)."""
     h, w = i_s.shape
+    (i_s, xi_s, rho, kf_int, valid, jac12), h = _pad_rows(
+        [i_s, xi_s, rho, kf_int, valid, jac12], h
+    )
     th = _tile_rows(h)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -313,7 +334,10 @@ def fusion_pallas(
     up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, T_kc, pose_cov, intr, cfg
 ):
     """Kernel-B wrapper (pre-gathered inputs). Returns (xi', var', n_fused)."""
-    h, w = kf_xi.shape
+    h0, w = kf_xi.shape
+    (up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask), h = _pad_rows(
+        [up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask], h0
+    )
     th = _tile_rows(h)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -358,4 +382,4 @@ def fusion_pallas(
         ),
         interpret=_interpret(),
     )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask)
-    return xi_new, var_new, n[0, 0]
+    return xi_new[:h0], var_new[:h0], n[0, 0]

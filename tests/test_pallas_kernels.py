@@ -110,3 +110,23 @@ def test_fusion_kernel_b_matches_xla(setup):
     np.testing.assert_allclose(np.asarray(pal[0]), np.asarray(xla[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(pal[1]), np.asarray(xla[1]), atol=1e-9)
     assert abs(float(pal[3]) - float(xla[3])) <= 2.0
+
+
+def test_odd_resolution_tracker():
+    """Non-multiple-of-8 image heights (arbitrary cameras) must work: the
+    kernel wrappers zero-pad rows instead of falling back to a single
+    full-height VMEM block."""
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=82.0, cy=65.0, width=166, height=131)
+    scene = synthetic.make_scene(0)
+    T1 = synthetic.orbit_trajectory(40, trans_amp=0.15, rot_amp=0.04)[2]
+    f0 = synthetic.render_frame(scene, intr, np.eye(4))
+    f1 = synthetic.render_frame(scene, intr, T1)
+    T_gt = np.linalg.inv(T1) @ np.eye(4)
+    pyr0 = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 2)
+    pyr1 = preprocess_frame(jnp.asarray(f1[0]), jnp.asarray(f1[1]), 2)
+    kf = keyframe_pyramid(pyr0, intr)
+    for kernel in ("xla", "pallas"):
+        cfg = TrackingConfig(levels=2, iters=(6, 16), kernel=kernel)
+        res = Tracker(intr, cfg).track(kf, pyr1, jnp.eye(4))
+        err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+        assert np.linalg.norm(err) < 5e-3, (kernel, err)
