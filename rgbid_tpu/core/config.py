@@ -28,7 +28,9 @@ class TrackingConfig:
     # compositional tracker needs a generous coarsest budget (its template
     # Jacobians slow convergence at large motion, and coarse iterations are
     # ~64x cheaper than finest-level ones).
-    iters: Tuple[int, ...] = (3, 5, 8, 16)
+    # ESM converges near-second-order: (3,4,7,12) with jacobian="esm"
+    # beats the old IC default (3,5,8,16) on both accuracy and speed.
+    iters: Tuple[int, ...] = (3, 4, 7, 12)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).
@@ -55,6 +57,13 @@ class TrackingConfig:
     # IRLS reduction implementation: "xla" (einsum path), "pallas" (fused
     # kernel A'), or "auto" (pallas on TPU, xla elsewhere).
     kernel: str = "auto"
+    # Jacobian formulation: "ic" (inverse-compositional, precomputed
+    # (12, H, W) template Jacobian field) or "esm" (efficient second-order
+    # minimization: averaged template/current gradients with the warp
+    # Jacobian recomputed in-kernel from template points — no Jacobian
+    # field is stored or rebuilt at all, and convergence per iteration is
+    # near-second-order).
+    jacobian: str = "esm"
     # Storage dtype for the (12, H, W) template Jacobians: "bf16" halves
     # the dominant per-iteration HBM read (~15 MB/iter at VGA); products
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with

@@ -30,7 +30,8 @@ class DeviceKeyframe(NamedTuple):
 
 
 def _template_levels(
-    int_pyr, xi_pyr, mask_pyr, intr: Intrinsics, jac_dtype=jnp.float32
+    int_pyr, xi_pyr, mask_pyr, intr: Intrinsics, jac_dtype=jnp.float32,
+    jacobian: str = "ic",
 ) -> Tuple[KeyframeLevel, ...]:
     out = []
     for l in range(len(int_pyr)):
@@ -38,9 +39,14 @@ def _template_levels(
         ones = jnp.ones_like(mask_pyr[l])
         gx_i, gy_i = image.gradients(int_pyr[l], ones)
         gx_x, gy_x = image.gradients(xi_pyr[l], mask_pyr[l])
-        jac = gauss_newton.template_jacobians(
-            gx_i, gy_i, gx_x, gy_x, xi_pyr[l], mask_pyr[l], intr_l, jac_dtype
-        )
+        if jacobian == "esm":
+            # ESM keeps only the 4 gradient planes; the warp Jacobian is
+            # recomputed in-kernel from the template points.
+            jac = jnp.stack([gx_i, gy_i, gx_x, gy_x]).astype(jac_dtype)
+        else:
+            jac = gauss_newton.template_jacobians(
+                gx_i, gy_i, gx_x, gy_x, xi_pyr[l], mask_pyr[l], intr_l, jac_dtype
+            )
         out.append(KeyframeLevel(int_pyr[l], xi_pyr[l], mask_pyr[l], jac))
     return tuple(out)
 
@@ -50,12 +56,13 @@ def create_device_keyframe(
     intr: Intrinsics,
     cfg: FusionConfig,
     jac_dtype=jnp.float32,
+    jacobian: str = "ic",
 ) -> DeviceKeyframe:
     """Promote a preprocessed frame to a fresh keyframe (variance = sensor)."""
     int_pyr = [l.intensity for l in frame]
     xi_pyr = [l.xi for l in frame]
     mask_pyr = [l.mask for l in frame]
-    levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype)
+    levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype, jacobian)
     var0 = jnp.where(
         frame[0].mask > 0, cfg.sensor_sigma_xi**2, cfg.max_variance
     ).astype(jnp.float32)
@@ -69,6 +76,7 @@ def rebuild_after_fusion(
     mask0: jax.Array,
     intr: Intrinsics,
     jac_dtype=jnp.float32,
+    jacobian: str = "ic",
 ) -> DeviceKeyframe:
     """Rebuild the tracking template from the fused level-0 inverse depth.
 
@@ -79,7 +87,7 @@ def rebuild_after_fusion(
     levels = len(kf.levels)
     int_pyr = [l.intensity for l in kf.levels]
     xi_pyr, mask_pyr = image.build_pyramid(xi0, mask0, levels)
-    new_levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype)
+    new_levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype, jacobian)
     return DeviceKeyframe(levels=new_levels, var=var0)
 
 

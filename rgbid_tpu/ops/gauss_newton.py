@@ -175,6 +175,105 @@ def residuals_and_normal_eq(
     return IrlsResult(H, b, sigma2_int, sigma2_xi, err, n_valid, inl)
 
 
+def esm_residuals_and_normal_eq(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_points: tuple,
+    kf_mask: jax.Array,
+    kf_grads: jax.Array,  # (4, H, W): gxI, gyI, gxXi, gyXi of the template
+    cur_stack7: jax.Array,  # (7, H, W): I, xi, mask, gxI, gyI, gxXi, gyXi
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+) -> IrlsResult:
+    """ESM variant (XLA twin of the Pallas ESM kernel).
+
+    Jacobians use the AVERAGE of template and warped-current gradients
+    (Efficient Second-order Minimization) dotted with the warp Jacobian
+    recomputed from the precomputed template points — no (12, H, W)
+    Jacobian field exists at all, so keyframe templates carry only 4
+    gradient planes and fusion never rebuilds Jacobians. Convergence per
+    iteration is near-second-order (vs first-order IC), so coarse levels
+    need fewer iterations. Sigma update is lagged (single pass).
+    """
+    from .warp import sample_stack7, transform_project
+
+    Px, Py, Pz = kf_points
+    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
+    samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
+    i_s, xi_s = samples[0], samples[1]
+    gxi_s, gyi_s, gxx_s, gyx_s = samples[3], samples[4], samples[5], samples[6]
+    valid = kf_mask * front * inb * mask_ok
+    r_i = (i_s - kf_int) * valid
+    r_x = (xi_s - rho) * valid
+
+    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
+    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
+
+    # Warp Jacobian at the template points (identity perturbation).
+    iz = 1.0 / jnp.maximum(Pz, 1e-6)
+    iz2 = iz * iz
+    ju = (
+        intr.fx * iz,
+        jnp.zeros_like(Px),
+        -intr.fx * Px * iz2,
+        -intr.fx * Px * Py * iz2,
+        intr.fx * (1.0 + Px * Px * iz2),
+        -intr.fx * Py * iz,
+    )
+    jv = (
+        jnp.zeros_like(Px),
+        intr.fy * iz,
+        -intr.fy * Py * iz2,
+        -intr.fy * (1.0 + Py * Py * iz2),
+        intr.fy * Px * Py * iz2,
+        intr.fy * Px * iz,
+    )
+    jrho = (
+        jnp.zeros_like(Px),
+        jnp.zeros_like(Px),
+        -iz2,
+        -Py * iz2,
+        Px * iz2,
+        jnp.zeros_like(Px),
+    )
+    gx_i_e = 0.5 * (kf_grads[0] + gxi_s)
+    gy_i_e = 0.5 * (kf_grads[1] + gyi_s)
+    gx_x_e = 0.5 * (kf_grads[2] + gxx_s)
+    gy_x_e = 0.5 * (kf_grads[3] + gyx_s)
+
+    n_valid = jnp.sum(valid)
+    inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    Ji = [gx_i_e * ju[k] + gy_i_e * jv[k] for k in range(6)]
+    H = jnp.zeros((6, 6), jnp.float32)
+    b = jnp.zeros((6,), jnp.float32)
+    if use_geometric:
+        Jx = [gx_x_e * ju[k] + gy_x_e * jv[k] - jrho[k] for k in range(6)]
+    for a in range(6):
+        for c in range(a, 6):
+            s = jnp.sum(w_i * Ji[a] * Ji[c]) * inv_n
+            if use_geometric:
+                s = s + jnp.sum(w_x * Jx[a] * Jx[c]) * inv_n
+            H = H.at[a, c].set(s)
+            H = H.at[c, a].set(s)
+        sb = jnp.sum(w_i * Ji[a] * r_i) * inv_n
+        if use_geometric:
+            sb = sb + jnp.sum(w_x * Jx[a] * r_x) * inv_n
+        b = b.at[a].set(sb)
+
+    err = (jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x)) * inv_n
+    inl = jnp.sum(valid * (r_i * r_i < gate_sigmas**2 * sigma2_int)) * inv_n
+    # Lagged sigma update for the next iteration.
+    w0i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int)
+    w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
+    s2i = jnp.maximum(jnp.sum(valid * w0i * r_i * r_i) * inv_n, 1e-12)
+    s2x = jnp.maximum(jnp.sum(valid * w0x * r_x * r_x) * inv_n, 1e-12)
+    return IrlsResult(H, b, s2i, s2x, err, n_valid, inl)
+
+
 def ic_update(T: jax.Array, H: jax.Array, b: jax.Array, damping: float, n_valid):
     """delta = solve(H + lambda I, b); T <- T . exp(-delta) (on device).
 

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.camera import Intrinsics
 from .gauss_newton import IrlsResult
-from .warp import sample_tracker_planes, transform_project
+from .warp import sample_stack7, sample_tracker_planes, transform_project
 
 _TRI = [(a, b) for a in range(6) for b in range(a, 6)]  # 21 upper-tri pairs
 
@@ -383,3 +383,140 @@ def fusion_pallas(
         interpret=_interpret(),
     )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask)
     return xi_new[:h0], var_new[:h0], n[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Kernel A-ESM: in-kernel warp Jacobians from template points + averaged
+# template/current gradients (no stored Jacobian field at all).
+
+
+def _esm_kernel(
+    par_ref, kf_int_ref, rho_ref, valid_ref, px_ref, py_ref, pz_ref,
+    kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric,
+):
+    """par (1, 8) SMEM: [fx, fy, s2i, s2x, 0, 0, 0, 0]."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    fx = par_ref[0, 0]
+    fy = par_ref[0, 1]
+    s2i = par_ref[0, 2]
+    s2x = par_ref[0, 3]
+    valid = valid_ref[:]
+    kf_int = kf_int_ref[:]
+    rho = rho_ref[:]
+    i_s = smp_ref[0]
+    xi_s = smp_ref[1]
+    r_i = (i_s - kf_int) * valid
+    r_x = (xi_s - rho) * valid
+    w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid / s2i
+    w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid / s2x
+
+    Px = px_ref[:]
+    Py = py_ref[:]
+    Pz = pz_ref[:]
+    iz = 1.0 / jnp.maximum(Pz, 1e-6)
+    iz2 = iz * iz
+    zero = jnp.zeros_like(Px)
+    ju = (fx * iz, zero, -fx * Px * iz2, -fx * Px * Py * iz2,
+          fx * (1.0 + Px * Px * iz2), -fx * Py * iz)
+    jv = (zero, fy * iz, -fy * Py * iz2, -fy * (1.0 + Py * Py * iz2),
+          fy * Px * Py * iz2, fy * Px * iz)
+    jrho = (zero, zero, -iz2, -Py * iz2, Px * iz2, zero)
+
+    # ESM gradients: average of template and warped-current gradients.
+    gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
+    gyi = 0.5 * (kfg_ref[1].astype(jnp.float32) + smp_ref[4])
+    gxx = 0.5 * (kfg_ref[2].astype(jnp.float32) + smp_ref[5])
+    gyx = 0.5 * (kfg_ref[3].astype(jnp.float32) + smp_ref[6])
+
+    Ji = [gxi * ju[k] + gyi * jv[k] for k in range(6)]
+    if use_geometric:
+        Jx = [gxx * ju[k] + gyx * jv[k] - jrho[k] for k in range(6)]
+    sums = []
+    for a, b in _TRI:
+        v = jnp.sum(w_i * Ji[a] * Ji[b])
+        if use_geometric:
+            v = v + jnp.sum(w_x * Jx[a] * Jx[b])
+        sums.append(v)
+    for a in range(6):
+        v = jnp.sum(w_i * Ji[a] * r_i)
+        if use_geometric:
+            v = v + jnp.sum(w_x * Jx[a] * r_x)
+        sums.append(v)
+    sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))
+    sums.append(jnp.sum(valid * (r_i * r_i < gate2 * s2i)))
+    sums.append(jnp.sum(valid))
+    sums.append(jnp.sum(valid * ((nu + 1.0) / (nu + r_i * r_i / s2i)) * r_i * r_i))
+    sums.append(jnp.sum(valid * ((nu + 1.0) / (nu + r_x * r_x / s2x)) * r_x * r_x))
+    out_ref[0, 0:32] = out_ref[0, 0:32] + jnp.stack(sums)
+
+
+def esm_residuals_and_normal_eq_pallas(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_points: tuple,
+    kf_mask: jax.Array,
+    kf_grads: jax.Array,
+    cur_stack7: jax.Array,
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+) -> IrlsResult:
+    """Pallas twin of gauss_newton.esm_residuals_and_normal_eq."""
+    Px, Py, Pz = kf_points
+    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
+    samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
+    valid = kf_mask * front * inb * mask_ok
+
+    h, w = kf_int.shape
+    (kf_int_p, rho_p, valid_p, Px_p, Py_p, Pz_p, kfg_p, smp_p), hp = _pad_rows(
+        [kf_int, rho, valid, Px, Py, Pz, kf_grads, samples], h
+    )
+    th = _tile_rows(hp)
+    grid = hp // th
+    spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec4 = pl.BlockSpec((4, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    spec7 = pl.BlockSpec((7, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    par = jnp.stack(
+        [jnp.asarray(intr.fx, jnp.float32), jnp.asarray(intr.fy, jnp.float32),
+         jnp.asarray(sigma2_int, jnp.float32), jnp.asarray(sigma2_xi, jnp.float32),
+         jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)]
+    ).reshape(1, 8)
+    out = pl.pallas_call(
+        functools.partial(
+            _esm_kernel, nu=nu, gate2=gate_sigmas**2, use_geometric=use_geometric
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            spec, spec, spec, spec, spec, spec, spec4, spec7,
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=_interpret(),
+    )(par, kf_int_p, rho_p, valid_p, Px_p, Py_p, Pz_p, kfg_p, smp_p)
+
+    tri = out[0, 0:21]
+    H = jnp.zeros((6, 6), jnp.float32)
+    for k, (a, b) in enumerate(_TRI):
+        H = H.at[a, b].set(tri[k])
+        H = H.at[b, a].set(tri[k])
+    b_vec = out[0, 21:27]
+    n_valid = out[0, 29]
+    inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+    return IrlsResult(
+        H=H * inv_n,
+        b=b_vec * inv_n,
+        sigma2_int=jnp.maximum(out[0, 30] * inv_n, 1e-12),
+        sigma2_xi=jnp.maximum(out[0, 31] * inv_n, 1e-12),
+        error=out[0, 27] * inv_n,
+        n_valid=n_valid,
+        inlier_frac=out[0, 28] * inv_n,
+    )

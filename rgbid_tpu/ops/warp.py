@@ -101,6 +101,39 @@ def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
     return blend[0], blend[1], mask_ok, inb
 
 
+def sample_stack7(stack7: jax.Array, u: jax.Array, v: jax.Array):
+    """Like sample_tracker_planes but for the 7-channel ESM stack
+    [I, xi, mask, gxI, gyI, gxXi, gyXi]: still 4 corner gathers; channel 2
+    (mask) gets exact all-corners product semantics, the rest bilinear.
+
+    Returns (blend (7, H, W), mask_ok (H, W), inb (H, W)).
+    """
+    _, h, w = stack7.shape
+    inb = (
+        (u >= 0.0) & (u <= w - 1.001) & (v >= 0.0) & (v <= h - 1.001)
+    ).astype(jnp.float32)
+    uc = jnp.clip(u, 0.0, w - 1.001)
+    vc = jnp.clip(v, 0.0, h - 1.001)
+    u0 = jnp.floor(uc).astype(jnp.int32)
+    v0 = jnp.floor(vc).astype(jnp.int32)
+    fu = uc - u0.astype(jnp.float32)
+    fv = vc - v0.astype(jnp.float32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    s00 = stack7[:, v0, u0]
+    s01 = stack7[:, v0, u1]
+    s10 = stack7[:, v1, u0]
+    s11 = stack7[:, v1, u1]
+    blend = (
+        s00 * ((1 - fu) * (1 - fv))[None]
+        + s01 * (fu * (1 - fv))[None]
+        + s10 * ((1 - fu) * fv)[None]
+        + s11 * (fu * fv)[None]
+    )
+    mask_ok = s00[2] * s01[2] * s10[2] * s11[2]
+    return blend, mask_ok, inb
+
+
 def bilinear_sample(img: jax.Array, mask: jax.Array | None, u: jax.Array, v: jax.Array):
     """Bilinear sample at continuous (u, v); XLA gather.
 

@@ -22,6 +22,9 @@ class FrameLevel(NamedTuple):
     intensity: jax.Array  # (H, W) f32 [0, 1]
     xi: jax.Array  # (H, W) f32 inverse depth (0 where invalid)
     mask: jax.Array  # (H, W) f32 {0, 1}
+    # ESM mode only: (7, H, W) stack [I, xi, mask, gxI, gyI, gxXi, gyXi]
+    # sampled jointly per IRLS iteration; None in IC mode.
+    stack7: jax.Array | None = None
 
 
 class KeyframeLevel(NamedTuple):
@@ -40,6 +43,7 @@ def preprocess_frame(
     depth_scale: float = 5000.0,
     min_depth: float = 0.3,
     max_depth: float = 10.0,
+    esm: bool = False,
 ) -> Tuple[FrameLevel, ...]:
     """K1 + K3: raw sensor planes -> intensity/inverse-depth pyramids.
 
@@ -55,9 +59,18 @@ def preprocess_frame(
     # border renormalization (half the convs of the masked path).
     ints = image.build_pyramid_unmasked(intensity, levels)
     xis, masks = image.build_pyramid(xi, mask, levels)
-    return tuple(
-        FrameLevel(ints[l], xis[l], masks[l]) for l in range(levels)
-    )
+    out = []
+    for l in range(levels):
+        stack7 = None
+        if esm:
+            ones = jnp.ones_like(masks[l])
+            gx_i, gy_i = image.gradients(ints[l], ones)
+            gx_x, gy_x = image.gradients(xis[l], masks[l])
+            stack7 = jnp.stack(
+                [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
+            )
+        out.append(FrameLevel(ints[l], xis[l], masks[l], stack7))
+    return tuple(out)
 
 
 def keyframe_pyramid(

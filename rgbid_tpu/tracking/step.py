@@ -104,10 +104,12 @@ def _process_frame_impl(
     tcfg, kcfg, fcfg = cfg.tracking, cfg.keyframe, cfg.fusion
     intrs = tuple(level_intrinsics(intr, l) for l in range(tcfg.levels))
     jac_dtype = jnp.bfloat16 if tcfg.jac_dtype == "bf16" else jnp.float32
+    esm = getattr(tcfg, "jacobian", "ic") == "esm"
 
     rgb_u8, depth_u16 = unpack_frame(packed_u8)
     cur = preprocess_frame(
-        rgb_u8, depth_u16, tcfg.levels, cfg.depth_scale, cfg.min_depth, cfg.max_depth
+        rgb_u8, depth_u16, tcfg.levels, cfg.depth_scale, cfg.min_depth,
+        cfg.max_depth, esm,
     )
     track: TrackResult = _track_impl(kf.levels, cur, T_init, intrs, tcfg)
 
@@ -163,12 +165,14 @@ def _process_frame_impl(
             intrs[0],
             fcfg,
         )
-        kf2 = rebuild_after_fusion(kf, xi2, var2, mask2, intr, jac_dtype)
+        kf2 = rebuild_after_fusion(
+            kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian
+        )
         return kf2, n_fused
 
     def switch_branch(operands):
         kf, cur, T, cov = operands
-        kf2 = create_device_keyframe(cur, intr, fcfg, jac_dtype)
+        kf2 = create_device_keyframe(cur, intr, fcfg, jac_dtype, tcfg.jacobian)
         return kf2, jnp.asarray(0.0, jnp.float32)
 
     def lost_branch(operands):
@@ -210,6 +214,7 @@ class ProcessFrame:
         jac_dtype = (
             jnp.bfloat16 if cfg.tracking.jac_dtype == "bf16" else jnp.float32
         )
+        esm = getattr(cfg.tracking, "jacobian", "ic") == "esm"
 
         def _init(packed):
             rgb, d16 = unpack_frame(packed)
@@ -221,10 +226,12 @@ class ProcessFrame:
                     cfg.depth_scale,
                     cfg.min_depth,
                     cfg.max_depth,
+                    esm,
                 ),
                 intr,
                 cfg.fusion,
                 jac_dtype,
+                cfg.tracking.jacobian,
             )
 
         self._init_kf = jax.jit(_init)

@@ -26,11 +26,17 @@ from .frames import FrameLevel, KeyframeLevel
 
 
 def _select_irls(cfg: TrackingConfig):
-    """Pick the IRLS reduction implementation (XLA twin vs Pallas A')."""
+    """Pick the IRLS reduction implementation (XLA twin vs Pallas A'/ESM)."""
     kernel = getattr(cfg, "kernel", "auto")
     use_pallas = kernel == "pallas" or (
         kernel == "auto" and jax.default_backend() == "tpu"
     )
+    if getattr(cfg, "jacobian", "ic") == "esm":
+        if use_pallas:
+            from ..ops.pallas_kernels import esm_residuals_and_normal_eq_pallas
+
+            return esm_residuals_and_normal_eq_pallas
+        return gauss_newton.esm_residuals_and_normal_eq
     if use_pallas:
         from ..ops.pallas_kernels import residuals_and_normal_eq_pallas
 
@@ -75,26 +81,35 @@ def _track_impl(
         # Loop-invariant backprojection: hoisted out of the IRLS loop.
         kf_points = backproject_grid(kl.xi, intr_l)
 
-        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points):
+        esm = getattr(cfg, "jacobian", "ic") == "esm"
+
+        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points, esm=esm):
             T, s2i, s2x, _H, _e, _i, _n = carry
-            res = irls(
-                T,
-                kl.intensity,
-                kf_points,
-                kl.mask,
-                kl.jac,
-                cl.intensity,
-                cl.xi,
-                cl.mask,
-                intr_l,
-                cfg.student_t_nu,
-                s2i,
-                s2x,
-                cfg.sigma_iters,
-                cfg.use_geometric,
-                cfg.gate_sigmas,
-                getattr(cfg, "sigma_mode", "exact"),
-            )
+            if esm:
+                res = irls(
+                    T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
+                    intr_l, cfg.student_t_nu, s2i, s2x,
+                    cfg.use_geometric, cfg.gate_sigmas,
+                )
+            else:
+                res = irls(
+                    T,
+                    kl.intensity,
+                    kf_points,
+                    kl.mask,
+                    kl.jac,
+                    cl.intensity,
+                    cl.xi,
+                    cl.mask,
+                    intr_l,
+                    cfg.student_t_nu,
+                    s2i,
+                    s2x,
+                    cfg.sigma_iters,
+                    cfg.use_geometric,
+                    cfg.gate_sigmas,
+                    getattr(cfg, "sigma_mode", "exact"),
+                )
             T_new, _ = gauss_newton.ic_update(T, res.H, res.b, cfg.damping, res.n_valid)
             return (
                 T_new,

@@ -79,7 +79,7 @@ def test_tracker_with_pallas_kernel_matches(setup):
     kf = keyframe_pyramid(pyr0, INTR)
     poses = {}
     for kernel in ("xla", "pallas"):
-        cfg = TrackingConfig(levels=3, iters=(4, 8, 16), kernel=kernel)
+        cfg = TrackingConfig(levels=3, iters=(4, 8, 16), kernel=kernel, jacobian="ic")
         res = Tracker(INTR, cfg).track(kf, pyr1, jnp.eye(4))
         poses[kernel] = np.asarray(res.T, np.float64)
         err = se3_np.log(se3_np.inv(T_gt) @ poses[kernel])
@@ -126,7 +126,7 @@ def test_odd_resolution_tracker():
     pyr1 = preprocess_frame(jnp.asarray(f1[0]), jnp.asarray(f1[1]), 2)
     kf = keyframe_pyramid(pyr0, intr)
     for kernel in ("xla", "pallas"):
-        cfg = TrackingConfig(levels=2, iters=(6, 16), kernel=kernel)
+        cfg = TrackingConfig(levels=2, iters=(6, 16), kernel=kernel, jacobian="ic")
         res = Tracker(intr, cfg).track(kf, pyr1, jnp.eye(4))
         err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
         assert np.linalg.norm(err) < 5e-3, (kernel, err)

@@ -15,7 +15,7 @@ from rgbid_tpu.reference_cpu import se3_np
 from rgbid_tpu.tracking import Tracker, keyframe_pyramid, preprocess_frame
 
 INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
-CFG = TrackingConfig(levels=3, iters=(4, 8, 16))
+CFG = TrackingConfig(levels=3, iters=(4, 8, 16), jacobian="ic")  # keyframe_pyramid builds IC templates
 
 
 @pytest.fixture(scope="module")
@@ -100,3 +100,25 @@ def test_diagnostics_shapes(pair):
     H = np.asarray(res.H, np.float64)
     np.testing.assert_allclose(H, H.T, rtol=1e-4)
     assert np.all(np.linalg.eigvalsh(H) > -1e-3)
+
+
+def test_esm_tracker_beats_ic(pair):
+    """ESM mode (default): near-second-order convergence — at the same
+    iteration budget it must beat the IC path on this pair."""
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+
+    f0, f1, T0, T1 = pair
+    T_gt = np.linalg.inv(T1) @ T0
+    results = {}
+    for jac in ("ic", "esm"):
+        esm = jac == "esm"
+        pyr0 = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3, esm=esm)
+        pyr1 = preprocess_frame(jnp.asarray(f1[0]), jnp.asarray(f1[1]), 3, esm=esm)
+        kf = create_device_keyframe(pyr0, INTR, FusionConfig(), jacobian=jac)
+        cfg = TrackingConfig(levels=3, iters=(4, 8, 16), jacobian=jac)
+        res = Tracker(INTR, cfg).track(kf.levels, pyr1, jnp.eye(4))
+        err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+        results[jac] = np.linalg.norm(err)
+    assert results["esm"] < 1e-3
+    assert results["esm"] <= results["ic"] * 1.2  # at least as good
