@@ -34,19 +34,26 @@ class RelocResult(NamedTuple):
 
 
 def _align_level(t_int, t_xi, t_mask, c_int, c_xi, c_mask, carry_in, intr_l, nu, iters, sigma_iters):
+    # ESM alignment (same formulation as the tracker's default): template
+    # gradients + warped current gradients averaged, warp Jacobian from
+    # precomputed template points. Better-converged loop edges feed the
+    # pose graph directly.
+    from ..ops.warp import backproject_grid
+
     ones = jnp.ones_like(t_mask)
     gx_i, gy_i = image.gradients(t_int, ones)
     gx_x, gy_x = image.gradients(t_xi, t_mask)
-    jac = gauss_newton.template_jacobians(gx_i, gy_i, gx_x, gy_x, t_xi, t_mask, intr_l)
-    from ..ops.warp import backproject_grid
-
+    t_grads = jnp.stack([gx_i, gy_i, gx_x, gy_x])
+    cgx_i, cgy_i = image.gradients(c_int, jnp.ones_like(c_mask))
+    cgx_x, cgy_x = image.gradients(c_xi, c_mask)
+    c_stack7 = jnp.stack([c_int, c_xi, c_mask, cgx_i, cgy_i, cgx_x, cgy_x])
     t_points = backproject_grid(t_xi, intr_l)
 
     def body(_, carry):
         T, s2i, s2x, _H, _e, _i, _n = carry
-        res = gauss_newton.residuals_and_normal_eq(
-            T, t_int, t_points, t_mask, jac, c_int, c_xi, c_mask,
-            intr_l, nu, s2i, s2x, sigma_iters,
+        res = gauss_newton.esm_residuals_and_normal_eq(
+            T, t_int, t_points, t_mask, t_grads, c_stack7,
+            intr_l, nu, s2i, s2x,
         )
         T_new, _ = gauss_newton.ic_update(T, res.H, res.b, 1e-6, res.n_valid)
         return (
