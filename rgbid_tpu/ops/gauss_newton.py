@@ -232,13 +232,21 @@ def esm_residuals_and_normal_eq(
         intr.fy * Px * Py * iz2,
         intr.fy * Px * iz,
     )
+    # EXACT prediction Jacobian for the geometric channel:
+    # d rho(T exp(d) P)/dd = -rho'^2 [r3 | P x r3] with r3 = T's third
+    # rotation row and rho' the predicted inverse depth. The T~I
+    # approximation (-xi^2 [0,0,1,Y,-X,0]) stalls the geometric-only
+    # case at moderate motion (textureless scenes); the exact form costs
+    # a few extra multiplies.
+    R = T[:3, :3]
+    rho2 = rho * rho
     jrho = (
-        jnp.zeros_like(Px),
-        jnp.zeros_like(Px),
-        -iz2,
-        -Py * iz2,
-        Px * iz2,
-        jnp.zeros_like(Px),
+        -rho2 * R[2, 0],
+        -rho2 * R[2, 1],
+        -rho2 * R[2, 2],
+        -rho2 * (Py * R[2, 2] - Pz * R[2, 1]),
+        -rho2 * (Pz * R[2, 0] - Px * R[2, 2]),
+        -rho2 * (Px * R[2, 1] - Py * R[2, 0]),
     )
     gx_i_e = 0.5 * (kf_grads[0] + gxi_s)
     gy_i_e = 0.5 * (kf_grads[1] + gyi_s)

@@ -394,7 +394,9 @@ def _esm_kernel(
     par_ref, kf_int_ref, rho_ref, valid_ref, px_ref, py_ref, pz_ref,
     kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric,
 ):
-    """par (1, 8) SMEM: [fx, fy, s2i, s2x, 0, 0, 0, 0]."""
+    """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, 0] where
+    r3* is the third rotation row of the current pose estimate (for the
+    exact geometric-prediction Jacobian)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -425,7 +427,19 @@ def _esm_kernel(
           fx * (1.0 + Px * Px * iz2), -fx * Py * iz)
     jv = (zero, fy * iz, -fy * Py * iz2, -fy * (1.0 + Py * Py * iz2),
           fy * Px * Py * iz2, fy * Px * iz)
-    jrho = (zero, zero, -iz2, -Py * iz2, Px * iz2, zero)
+    # Exact prediction Jacobian: -rho'^2 [r3 | P x r3].
+    r31 = par_ref[0, 4]
+    r32 = par_ref[0, 5]
+    r33 = par_ref[0, 6]
+    rho2 = rho * rho
+    jrho = (
+        -rho2 * r31,
+        -rho2 * r32,
+        -rho2 * r33,
+        -rho2 * (Py * r33 - Pz * r32),
+        -rho2 * (Pz * r31 - Px * r33),
+        -rho2 * (Px * r32 - Py * r31),
+    )
 
     # ESM gradients: average of template and warped-current gradients.
     gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
@@ -487,7 +501,7 @@ def esm_residuals_and_normal_eq_pallas(
     par = jnp.stack(
         [jnp.asarray(intr.fx, jnp.float32), jnp.asarray(intr.fy, jnp.float32),
          jnp.asarray(sigma2_int, jnp.float32), jnp.asarray(sigma2_xi, jnp.float32),
-         jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)]
+         T[2, 0], T[2, 1], T[2, 2], jnp.asarray(0.0, jnp.float32)]
     ).reshape(1, 8)
     out = pl.pallas_call(
         functools.partial(
