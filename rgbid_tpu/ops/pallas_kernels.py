@@ -12,10 +12,15 @@ here into two VPU kernels that each read the pixel planes exactly once:
   the 5 residual planes + 12 Jacobian planes, accumulated across row-tile
   grid steps into a single (1, 128) output block.
 
-Both kernels implement exactly the contract of
-ops.gauss_newton.residuals_and_normal_eq (the XLA twin); equivalence is
-enforced by tests. On non-TPU backends the kernels run in interpreter
-mode so the whole suite exercises them.
+Kernel A-ESM (the default path) additionally recomputes the warp
+Jacobians in-kernel from precomputed template points and averages
+template/current gradients — no Jacobian field input at all. Kernel B
+fuses the gather-free half of inverse-depth fusion (K8+K9).
+
+Every kernel implements exactly the contract of its XLA twin in
+ops.gauss_newton / mapping.fusion; equivalence is enforced by tests. On
+non-TPU backends the kernels run in interpreter mode so the whole suite
+exercises them.
 """
 
 from __future__ import annotations

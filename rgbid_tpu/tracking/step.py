@@ -4,9 +4,10 @@ Reference architecture (SURVEY.md §3.2): upload → ~12 kernel launches →
 per-iteration readbacks → host keyframe logic → fusion kernels. TPU-native
 architecture: raw u8/u16 planes go up; preprocessing, pyramids, the whole
 coarse-to-fine IRLS tracker, the keyframe-switch decision, and EITHER
-inverse-depth fusion + template rebuild OR new-keyframe creation
-(lax.cond — one branch executes) all run inside a single jitted XLA
-program. Only a ~60-float StepResult returns to the host each frame.
+inverse-depth fusion + template rebuild OR new-keyframe creation OR a
+lost no-op (lax.switch — one branch executes) all run inside a single
+jitted XLA program. One packed ~70-float StepResult vector returns to
+the host each frame.
 
 This eliminates every per-frame host↔device round trip except the raw
 frame upload and the diagnostics readback — on the sandbox TPU (3.5 ms

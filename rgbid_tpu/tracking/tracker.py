@@ -5,10 +5,16 @@ reduces the 6x6 normal equations on the GPU and reads ~29 floats back to
 the host, which solves and updates the pose — ~25–60 host syncs per frame.
 
 TPU-native architecture (SURVEY.md §7 stance 1): the ENTIRE coarse-to-fine
-loop — warp, sample, Student-t IRLS, 6x6 Cholesky, exp-map update, all 4
+loop — warp, sample, Student-t IRLS, 6x6 Cholesky, exp-map update, all
 levels — is ONE jitted XLA program with `lax.fori_loop` over iterations.
 Only the final pose + ~40 diagnostic floats return to the host, once per
 frame. Early exit becomes a masked no-op update (fixed shapes).
+
+Two Jacobian formulations (config tracking.jacobian): "esm" (default;
+averaged template/current gradients, warp Jacobians recomputed in-kernel
+from precomputed template points, no stored Jacobian field — see
+SURVEY.md App. B) and "ic" (classic inverse-compositional with a
+precomputed (12, H, W) template Jacobian field).
 """
 
 from __future__ import annotations
