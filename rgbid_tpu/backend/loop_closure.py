@@ -134,7 +134,13 @@ class BackendThread:
 
     def optimized_poses(self) -> Dict[int, np.ndarray]:
         with self._lock:
-            out = dict(self._optimized)
+            return dict(self._optimized)
+
+    def take_updates(self) -> Dict[int, np.ndarray]:
+        """Pop the pending optimized poses (consume-once publication)."""
+        with self._lock:
+            out = self._optimized
+            self._optimized = {}
             return out
 
     @property

@@ -85,6 +85,11 @@ class SlamSystem:
             self._record(timestamp, T_wc, None)
             return T_wc
 
+        # Live pose-graph publication (the reference's back end publishes
+        # corrected poses and the tracker rebases): apply pending
+        # optimized keyframe poses before tracking this frame.
+        self._apply_pose_updates()
+
         T_init = se3_np.inv(self._delta) @ self._T_ck
         res_vec, kf2 = self._step(
             packed, self._kf_state, jnp.asarray(T_init, jnp.float32)
@@ -264,14 +269,17 @@ class SlamSystem:
             self._apply_pose_updates()
 
     def _apply_pose_updates(self):
-        """Pull optimized keyframe poses from the back end (if any) and
-        rebase the trajectory: each frame's pose moves with its keyframe."""
-        if self.backend is None:
+        """Consume optimized keyframe poses from the back end (if any):
+        rebase keyframes, the recorded trajectory (each frame moves with
+        its keyframe), and the live motion-model state. Called every frame
+        (live publication) and at finish."""
+        if self.backend is None or not self.backend.has_updates():
             return
-        updates = self.backend.optimized_poses()
+        updates = self.backend.take_updates()
         if not updates:
             return
         old_poses = {kf.kf_id: kf.T_wk.copy() for kf in self.manager.keyframes}
+        active_id = self.manager.active.kf_id
         for kf_id, T_new in updates.items():
             self.manager.keyframes[kf_id].T_wk = T_new
         # Rebase trajectory records through per-frame keyframe association.
@@ -281,6 +289,12 @@ class SlamSystem:
                 t, T_wc = self._trajectory[i]
                 correction = updates[kf_id] @ np.linalg.inv(old_poses[kf_id])
                 self._trajectory[i] = (t, correction @ T_wc)
+        # Keep the constant-velocity model consistent: the last world pose
+        # moves with the active keyframe (T_ck and delta are relative and
+        # unaffected).
+        if active_id in updates:
+            corr = updates[active_id] @ np.linalg.inv(old_poses[active_id])
+            self._T_wc_prev = corr @ self._T_wc_prev
 
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         return list(self._trajectory)

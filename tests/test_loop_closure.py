@@ -79,3 +79,26 @@ def test_backend_stats_sane(run):
     lc = slam.backend.loop_closer
     assert lc.n_queries == len(slam.manager.keyframes)
     assert lc.n_accepted <= lc.n_candidates
+
+
+def test_midrun_pose_publication(run):
+    """Corrected poses are applied LIVE (consume-once), not only at finish:
+    injecting an update rebases the active keyframe, the recorded
+    trajectory, and the motion-model state on the next frame."""
+    from rgbid_tpu.reference_cpu import se3_np
+
+    seq, slam = run
+    active = slam.manager.active
+    old_T = active.T_wk.copy()
+    corr = se3_np.exp(np.array([0.05, -0.02, 0.01, 0.0, 0.01, 0.0]))
+    with slam.backend._lock:
+        slam.backend._optimized = {active.kf_id: corr @ old_T}
+    traj_before = slam.poses()[-1].copy()
+    slam.process_frame(seq.rgb[-1], seq.depth[-1], 99.0)
+    np.testing.assert_allclose(active.T_wk, corr @ old_T, atol=1e-12)
+    # Consumed: no pending updates remain.
+    assert not slam.backend.has_updates()
+    # Past trajectory entries associated with this keyframe were rebased.
+    # (the pre-update last pose was tracked against `active`)
+    rebased = corr @ traj_before
+    np.testing.assert_allclose(slam.poses()[-2], rebased, atol=1e-9)
