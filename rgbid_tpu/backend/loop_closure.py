@@ -61,6 +61,7 @@ class LoopCloser:
         with self.db_lock:
             candidates = self.db.query(kf.kf_id, desc)
             self.db.insert(kf.kf_id, desc)
+            kf.bow = dict(self.db.entries.get(kf.kf_id, {}))
         self.n_queries += 1
         if not candidates:
             return []
