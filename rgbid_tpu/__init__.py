@@ -9,12 +9,13 @@ pose-graph optimization driving batched relocalization scoring on device.
 
 Public API (mirrors the reference: feed RGB-D frames, get poses + map):
 
-    from rgbid_tpu import SlamSystem, SlamConfig
-    slam = SlamSystem(config, intrinsics)
+    from rgbid_tpu import SlamSystem, SlamConfig, Intrinsics
+    slam = SlamSystem(intrinsics, config)
     pose = slam.process_frame(rgb_u8, depth_u16, timestamp)
     slam.finish()
-    slam.trajectory()   # TUM-format (t, tx ty tz qx qy qz qw) rows
-    slam.map_points()   # global point cloud (N, 6) xyzrgb
+    slam.trajectory()          # list of (timestamp, 4x4 T_wc) pairs
+    slam.save_trajectory(path) # TUM-format t tx ty tz qx qy qz qw rows
+    slam.map_points()          # global point cloud (N, 6) xyzrgb
 """
 
 __version__ = "0.1.0"

@@ -41,6 +41,9 @@ class LoopCloser:
             min_score=b.min_score,
             min_gap=b.min_keyframe_gap,
             max_candidates=b.max_candidates,
+            branching=b.vocab_branching,
+            levels=b.vocab_levels,
+            train_after=b.vocab_train_after,
         )
         self.scorer = RelocScorer(intr, cfg)
         self.n_queries = 0
@@ -113,6 +116,7 @@ class BackendThread:
         self._lock = threading.Lock()
         self._optimized: Dict[int, np.ndarray] = {}
         self._loop_edges: List[dict] = []
+        self._dirty = False  # accepted edges awaiting an optimize pass
         self._processed = set()
         self._thread = threading.Thread(target=self._run, daemon=True, name="slam-backend")
         self._thread.start()
@@ -159,32 +163,51 @@ class BackendThread:
             kf = self._queue.get()
             if kf is None:
                 break
+            # The WHOLE per-keyframe pipeline (including _optimize) lives
+            # inside the try: an exception here must never kill the thread,
+            # or finish() would block on the join and the front end would
+            # silently lose loop closure.
             try:
                 edges = self.loop_closer.process_keyframe(
                     kf, self.system.manager.keyframes
                 )
-            except Exception as e:  # never kill the front end
+                if edges:
+                    self._loop_edges.extend(edges)
+                    self._dirty = True
+                # Throttle (reference optimizes per accepted edge; at
+                # fr3-scale keyframe counts that crawls): optimize once
+                # per BURST of keyframe events — only when no further
+                # keyframes are already waiting in the queue.
+                if self._dirty and self._queue.empty():
+                    self._optimize()
+                    self._dirty = False
+            except Exception:  # never kill the back-end thread
                 import traceback
 
                 traceback.print_exc()
                 continue
-            if edges:
-                self._loop_edges.extend(edges)
-                self._optimize()
-
-    def _graph_edges(self):
-        self.pg.edges = []
-        for e in self.system.manager.edges:
-            self.pg.add_edge(e.from_id, e.to_id, e.T_rel, e.information)
-        for e in self._loop_edges:
-            self.pg.add_edge(
-                e["from_id"], e["to_id"], e["T_rel"], e["information"], robust=True
-            )
 
     def _optimize(self) -> None:
-        kfs = self.system.manager.keyframes
+        # Snapshot keyframes and both edge lists in one pass (each list()
+        # is atomic under the GIL), then drop any edge referencing a
+        # keyframe appended by the front end AFTER the pose snapshot —
+        # otherwise a concurrent _on_keyframe_switch makes an edge point
+        # at node index >= len(poses) and the solver raises.
+        kfs = list(self.system.manager.keyframes)
+        odo_edges = list(self.system.manager.edges)
+        loop_edges = list(self._loop_edges)
         poses = [kf.T_wk.copy() for kf in kfs]
-        self._graph_edges()
+        n = len(poses)
+        self.pg.edges = []
+        for e in odo_edges:
+            if e.from_id < n and e.to_id < n:
+                self.pg.add_edge(e.from_id, e.to_id, e.T_rel, e.information)
+        for e in loop_edges:
+            if e["from_id"] < n and e["to_id"] < n:
+                self.pg.add_edge(
+                    e["from_id"], e["to_id"], e["T_rel"], e["information"],
+                    robust=True,
+                )
         result = self.pg.optimize(poses)
         with self._lock:
             self._optimized = {i: T for i, T in enumerate(result["poses"])}

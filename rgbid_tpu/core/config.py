@@ -24,13 +24,16 @@ class TrackingConfig:
 
     levels: int = 4
     # Gauss-Newton iterations per level, indexed by level (0 = finest).
-    # Coarse levels get more iterations, like the reference; the inverse-
-    # compositional tracker needs a generous coarsest budget (its template
-    # Jacobians slow convergence at large motion, and coarse iterations are
-    # ~64x cheaper than finest-level ones).
-    # ESM converges near-second-order: (3,4,7,12) with jacobian="esm"
-    # beats the old IC default (3,5,8,16) on both accuracy and speed.
-    iters: Tuple[int, ...] = (3, 4, 7, 12)
+    # Coarse levels get more iterations, like the reference: a coarse
+    # iteration costs 4-64x less than a finest-level one (fewer pixels)
+    # but does the heavy lifting of pulling large motions into the fine
+    # levels' convergence basin. Measured on hard synthetic clips
+    # (round 2): moving budget coarse-ward, (2,8,14,22) HALVES ATE vs the
+    # round-1 default (3,4,7,12) at ~equal frame time (large-motion orbit
+    # 35 vs 99 mm; noisy fast loop 3.6 vs 8.2 mm; easy orbit 0.51 vs
+    # 1.40 mm). (2,6,12,20) is the speed-leaning choice (-4% frame time,
+    # still ~2x more accurate than round 1).
+    iters: Tuple[int, ...] = (2, 8, 14, 22)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).
@@ -64,6 +67,14 @@ class TrackingConfig:
     # field is stored or rebuilt at all, and convergence per iteration is
     # near-second-order).
     jacobian: str = "esm"
+    # Coarsest level at which ESM gradient AVERAGING starts: levels >= this
+    # sample the current frame's gradients too (full ESM — second-order
+    # convergence where the motion is large); finer levels use template
+    # gradients only, sampling just [I, xi, mask] — at the finest VGA level
+    # the pose is already near-converged and the (7, H, W) sampling stack's
+    # materialization + gather traffic was the single largest preprocess
+    # cost (~30 ms/frame on the sandbox). 0 = full ESM everywhere.
+    esm_min_level: int = 1
     # Storage dtype for the (12, H, W) template Jacobians: "bf16" halves
     # the dominant per-iteration HBM read (~15 MB/iter at VGA); products
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
@@ -115,6 +126,12 @@ class FusionConfig:
     # Fusion implementation: "xla", "pallas" (fused kernel B), or "auto"
     # (pallas on TPU, xla elsewhere).
     kernel: str = "auto"
+    # Template-rebuild amortization: the finest level is refreshed from the
+    # fused depth EVERY frame; the coarse xi pyramid + gradients every N
+    # fused frames (1 = always, the round-1 behavior). Coarse levels only
+    # seed coarse-to-fine initialization, so a few frames of staleness
+    # there does not move the final pose (validated on the endurance clip).
+    coarse_rebuild_every: int = 4
 
 
 @dataclass(frozen=True)
@@ -124,10 +141,14 @@ class BackendConfig:
     enabled: bool = True
     # ORB features per keyframe for place recognition.
     num_features: int = 500
-    # Bag-of-words vocabulary (trained online; the sandbox has no network so
-    # no pretrained DBoW2 vocabulary file can be shipped).
+    # Bag-of-words vocabulary: a branching^levels hierarchical k-medians
+    # tree TRAINED IN-RUN once vocab_train_after descriptors accumulate
+    # (no network -> no pretrained DBoW2 vocabulary file can be shipped;
+    # a flat online-grown vocabulary covers the cold start and stored
+    # keyframes are re-quantized at each (re)train).
     vocab_branching: int = 8
     vocab_levels: int = 3
+    vocab_train_after: int = 3000
     # Candidate gating.
     min_score: float = 0.12
     min_keyframe_gap: int = 10
@@ -165,6 +186,12 @@ class SlamConfig:
     # Maximum sensor range in meters; deeper measurements are invalid.
     max_depth: float = 10.0
     min_depth: float = 0.3
+    # Frames per pipelined flight in SlamSystem.feed(): that many per-frame
+    # device programs are chained with NO host sync (on-device motion model
+    # + in-program keyframe switching), then read back together. Amortizes
+    # the ~28 ms fixed host-readback cost of the sandbox TPU; 1 = the
+    # classic sync-every-frame loop.
+    pipeline_depth: int = 8
 
     # ------------------------------------------------------------------
     def override(self, **updates: Any) -> "SlamConfig":
@@ -205,6 +232,7 @@ class SlamConfig:
             depth_scale=raw.get("depth_scale", 5000.0),
             max_depth=raw.get("max_depth", 10.0),
             min_depth=raw.get("min_depth", 0.3),
+            pipeline_depth=raw.get("pipeline_depth", 8),
         )
 
     def config_hash(self) -> str:

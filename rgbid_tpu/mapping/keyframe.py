@@ -27,6 +27,9 @@ class DeviceKeyframe(NamedTuple):
 
     levels: Tuple[KeyframeLevel, ...]  # tracking template (I, xi, mask, J)
     var: jax.Array  # (H, W) per-pixel inverse-depth variance at level 0
+    # Number of frames fused into this keyframe so far (drives the
+    # amortized coarse-level template rebuild schedule).
+    fused_count: jax.Array = None  # () int32
 
 
 def _template_levels(
@@ -66,7 +69,38 @@ def create_device_keyframe(
     var0 = jnp.where(
         frame[0].mask > 0, cfg.sensor_sigma_xi**2, cfg.max_variance
     ).astype(jnp.float32)
-    return DeviceKeyframe(levels=levels, var=var0)
+    return DeviceKeyframe(
+        levels=levels, var=var0, fused_count=jnp.asarray(0, jnp.int32)
+    )
+
+
+def _rebuild_level0(
+    old: KeyframeLevel,
+    xi0: jax.Array,
+    mask0: jax.Array,
+    intr: Intrinsics,
+    jac_dtype,
+    jacobian: str,
+) -> KeyframeLevel:
+    """Finest-level template refresh from the fused inverse depth.
+
+    Intensity (and hence its gradients) never changes under fusion, so ESM
+    reuses the stored intensity-gradient planes and only recomputes the
+    two xi-gradient planes; IC recomputes its Jacobian field (which mixes
+    intensity gradients with the xi-dependent warp Jacobian).
+    """
+    gx_x, gy_x = image.gradients(xi0, mask0)
+    if jacobian == "esm":
+        jac = jnp.concatenate(
+            [old.jac[:2], jnp.stack([gx_x, gy_x]).astype(jac_dtype)], axis=0
+        )
+    else:
+        ones = jnp.ones_like(mask0)
+        gx_i, gy_i = image.gradients(old.intensity, ones)
+        jac = gauss_newton.template_jacobians(
+            gx_i, gy_i, gx_x, gy_x, xi0, mask0, intr, jac_dtype
+        )
+    return KeyframeLevel(old.intensity, xi0, mask0, jac)
 
 
 def rebuild_after_fusion(
@@ -77,18 +111,41 @@ def rebuild_after_fusion(
     intr: Intrinsics,
     jac_dtype=jnp.float32,
     jacobian: str = "ic",
+    coarse_every: int = 1,
 ) -> DeviceKeyframe:
     """Rebuild the tracking template from the fused level-0 inverse depth.
 
     The intensity pyramid is untouched (fusion refines depth only, like the
-    reference); the xi pyramid, masks and IC Jacobians are recomputed so
-    tracking always runs against the latest fused (denoised) depth.
+    reference). The finest level is refreshed EVERY fused frame (it sets
+    tracking accuracy); the coarse xi pyramid + gradients are refreshed
+    every ``coarse_every`` fused frames (lax.cond) — coarse levels only
+    seed the coarse-to-fine schedule, so a few frames of depth staleness
+    there is invisible to the final pose while the full per-frame pyramid
+    rebuild was round 1's single biggest frame-time sink.
     """
     levels = len(kf.levels)
-    int_pyr = [l.intensity for l in kf.levels]
-    xi_pyr, mask_pyr = image.build_pyramid(xi0, mask0, levels)
-    new_levels = _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype, jacobian)
-    return DeviceKeyframe(levels=new_levels, var=var0)
+    count = kf.fused_count + 1
+    new0 = _rebuild_level0(kf.levels[0], xi0, mask0, intr, jac_dtype, jacobian)
+    if levels == 1:
+        return DeviceKeyframe(levels=(new0,), var=var0, fused_count=count)
+
+    def full_coarse(_):
+        int_pyr = [l.intensity for l in kf.levels]
+        xi_pyr, mask_pyr = image.build_pyramid(xi0, mask0, levels)
+        return tuple(
+            _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype, jacobian)[1:]
+        )
+
+    def keep_coarse(_):
+        return tuple(kf.levels[1:])
+
+    if coarse_every <= 1:
+        coarse = full_coarse(None)
+    else:
+        coarse = jax.lax.cond(
+            count % coarse_every == 0, full_coarse, keep_coarse, None
+        )
+    return DeviceKeyframe(levels=(new0,) + coarse, var=var0, fused_count=count)
 
 
 @dataclass
@@ -98,6 +155,11 @@ class Keyframe:
     kf_id: int
     timestamp: float
     T_wk: np.ndarray  # camera-to-world pose (updated by the pose graph)
+    # Host copy of the founding frame's color image (H, W, 3) u8 — the
+    # fused keyframe refines depth only, so this stays the keyframe's
+    # color for ORB features and colored map export (the reference's
+    # keyframes carry the color image; SURVEY.md §2.1 Keyframe struct).
+    rgb: Optional[np.ndarray] = None
     # Finalized dense artifacts (filled when the keyframe is retired or on
     # demand): point cloud (N, 6) xyz+rgb in keyframe coordinates.
     cloud: Optional[np.ndarray] = None
@@ -110,18 +172,21 @@ class Keyframe:
 
 
 def extract_cloud(
-    intensity0: np.ndarray,
+    intensity0: Optional[np.ndarray],
     xi0: np.ndarray,
     mask0: np.ndarray,
     var0: np.ndarray,
     intr: Intrinsics,
     max_sigma: float = 0.05,
     stride: int = 1,
+    rgb: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """K10: backproject the fused keyframe map -> (N, 6) xyz+rgb float32.
 
     Host-side compaction (boolean indexing) of a device-computed dense
-    grid; gray intensity is replicated to rgb.
+    grid. When the keyframe's host color image ``rgb`` (H, W, 3 u8) is
+    given the cloud carries real colors (like the reference's colored
+    keyframe clouds); else gray intensity is replicated to rgb.
     """
     h, w = xi0.shape
     u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
@@ -133,6 +198,11 @@ def extract_cloud(
     z = 1.0 / np.maximum(xi0, 1e-6)
     x = (u - intr.cx) / intr.fx * z
     y = (v - intr.cy) / intr.fy * z
-    g = np.clip(intensity0, 0.0, 1.0)
-    pts = np.stack([x[keep], y[keep], z[keep], g[keep], g[keep], g[keep]], axis=1)
+    if rgb is not None:
+        c = rgb.astype(np.float32) * (1.0 / 255.0)
+        cols = [c[..., 0][keep], c[..., 1][keep], c[..., 2][keep]]
+    else:
+        g = np.clip(intensity0, 0.0, 1.0)
+        cols = [g[keep], g[keep], g[keep]]
+    pts = np.stack([x[keep], y[keep], z[keep]] + cols, axis=1)
     return pts.astype(np.float32)

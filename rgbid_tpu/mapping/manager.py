@@ -64,10 +64,13 @@ class KeyframeManager:
         readbacks per keyframe event, never per frame.
         """
         lvl0 = device_state.levels[0]
-        intensity0 = np.asarray(lvl0.intensity)
         xi0 = np.asarray(lvl0.xi)
         mask0 = np.asarray(lvl0.mask) > 0.5
         var0 = np.asarray(device_state.var)
+        # Color from the host-kept founding frame; when present the
+        # finest-level device intensity plane need not be read back at all
+        # (gray for ORB comes from the same host image).
+        intensity0 = None if kf.rgb is not None else np.asarray(lvl0.intensity)
         kf.cloud = extract_cloud(
             intensity0,
             xi0,
@@ -76,7 +79,24 @@ class KeyframeManager:
             self.intr,
             max_sigma=self.cloud_max_sigma,
             stride=self.cloud_stride,
+            rgb=kf.rgb,
         )
+        if kf.rgb is not None:
+            try:
+                import cv2
+
+                gray_u8 = cv2.cvtColor(
+                    np.ascontiguousarray(kf.rgb), cv2.COLOR_RGB2GRAY
+                )
+            except Exception:
+                f = kf.rgb.astype(np.float32)
+                gray_u8 = np.clip(
+                    0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2] + 0.5,
+                    0,
+                    255,
+                ).astype(np.uint8)
+        else:
+            gray_u8 = np.clip(intensity0 * 255.0, 0, 255).astype(np.uint8)
         # Host copies of the coarse planes for place recognition + batched
         # relocalization scoring (SURVEY.md §3.5).
         li = device_state.levels[min(self.reloc_level, len(device_state.levels) - 1)]
@@ -84,7 +104,7 @@ class KeyframeManager:
             "intensity": np.asarray(li.intensity),
             "xi": np.asarray(li.xi),
             "mask": np.asarray(li.mask),
-            "intensity0_u8": np.clip(intensity0 * 255.0, 0, 255).astype(np.uint8),
+            "intensity0_u8": gray_u8,
         }
         if self.on_finalize is not None:
             self.on_finalize(kf)

@@ -181,7 +181,7 @@ def esm_residuals_and_normal_eq(
     kf_points: tuple,
     kf_mask: jax.Array,
     kf_grads: jax.Array,  # (4, H, W): gxI, gyI, gxXi, gyXi of the template
-    cur_stack7: jax.Array,  # (7, H, W): I, xi, mask, gxI, gyI, gxXi, gyXi
+    cur_stack7: jax.Array,  # (7, H, W) I,xi,mask,gxI,gyI,gxXi,gyXi — or (3, H, W) I,xi,mask
     intr: Intrinsics,
     nu: float,
     sigma2_int,
@@ -198,14 +198,19 @@ def esm_residuals_and_normal_eq(
     gradient planes and fusion never rebuilds Jacobians. Convergence per
     iteration is near-second-order (vs first-order IC), so coarse levels
     need fewer iterations. Sigma update is lagged (single pass).
+
+    When ``cur_stack7`` has only 3 channels ([I, xi, mask]) the TEMPLATE
+    gradients are used alone (first-order; the fine-level mode of
+    config.TrackingConfig.esm_min_level) — the contract is otherwise
+    identical.
     """
     from .warp import sample_stack7, transform_project
 
+    avg_grads = cur_stack7.shape[0] >= 7
     Px, Py, Pz = kf_points
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
     i_s, xi_s = samples[0], samples[1]
-    gxi_s, gyi_s, gxx_s, gyx_s = samples[3], samples[4], samples[5], samples[6]
     valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
@@ -248,10 +253,14 @@ def esm_residuals_and_normal_eq(
         -rho2 * (Pz * R[2, 0] - Px * R[2, 2]),
         -rho2 * (Px * R[2, 1] - Py * R[2, 0]),
     )
-    gx_i_e = 0.5 * (kf_grads[0] + gxi_s)
-    gy_i_e = 0.5 * (kf_grads[1] + gyi_s)
-    gx_x_e = 0.5 * (kf_grads[2] + gxx_s)
-    gy_x_e = 0.5 * (kf_grads[3] + gyx_s)
+    kfg = kf_grads.astype(jnp.float32)
+    if avg_grads:
+        gx_i_e = 0.5 * (kfg[0] + samples[3])
+        gy_i_e = 0.5 * (kfg[1] + samples[4])
+        gx_x_e = 0.5 * (kfg[2] + samples[5])
+        gy_x_e = 0.5 * (kfg[3] + samples[6])
+    else:
+        gx_i_e, gy_i_e, gx_x_e, gy_x_e = kfg[0], kfg[1], kfg[2], kfg[3]
 
     n_valid = jnp.sum(valid)
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)

@@ -397,7 +397,7 @@ def fusion_pallas(
 
 def _esm_kernel(
     par_ref, kf_int_ref, rho_ref, valid_ref, px_ref, py_ref, pz_ref,
-    kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric,
+    kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric, avg_grads=True,
 ):
     """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, 0] where
     r3* is the third rotation row of the current pose estimate (for the
@@ -446,11 +446,19 @@ def _esm_kernel(
         -rho2 * (Px * r32 - Py * r31),
     )
 
-    # ESM gradients: average of template and warped-current gradients.
-    gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
-    gyi = 0.5 * (kfg_ref[1].astype(jnp.float32) + smp_ref[4])
-    gxx = 0.5 * (kfg_ref[2].astype(jnp.float32) + smp_ref[5])
-    gyx = 0.5 * (kfg_ref[3].astype(jnp.float32) + smp_ref[6])
+    # ESM gradients: average of template and warped-current gradients —
+    # or template-only at fine levels (avg_grads=False; samples carry just
+    # [i_s, xi_s] then).
+    if avg_grads:
+        gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
+        gyi = 0.5 * (kfg_ref[1].astype(jnp.float32) + smp_ref[4])
+        gxx = 0.5 * (kfg_ref[2].astype(jnp.float32) + smp_ref[5])
+        gyx = 0.5 * (kfg_ref[3].astype(jnp.float32) + smp_ref[6])
+    else:
+        gxi = kfg_ref[0].astype(jnp.float32)
+        gyi = kfg_ref[1].astype(jnp.float32)
+        gxx = kfg_ref[2].astype(jnp.float32)
+        gyx = kfg_ref[3].astype(jnp.float32)
 
     Ji = [gxi * ju[k] + gyi * jv[k] for k in range(6)]
     if use_geometric:
@@ -488,10 +496,18 @@ def esm_residuals_and_normal_eq_pallas(
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
 ) -> IrlsResult:
-    """Pallas twin of gauss_newton.esm_residuals_and_normal_eq."""
+    """Pallas twin of gauss_newton.esm_residuals_and_normal_eq.
+
+    Accepts a (7, H, W) ESM stack or a (3, H, W) [I, xi, mask] stack —
+    with 3 channels the template gradients are used alone (fine-level
+    mode) and only the 2 sampled residual planes enter the kernel.
+    """
+    avg_grads = cur_stack7.shape[0] >= 7
     Px, Py, Pz = kf_points
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
+    if not avg_grads:
+        samples = samples[:2]
     valid = kf_mask * front * inb * mask_ok
 
     h, w = kf_int.shape
@@ -500,9 +516,10 @@ def esm_residuals_and_normal_eq_pallas(
     )
     th = _tile_rows(hp)
     grid = hp // th
+    n_smp = smp_p.shape[0]
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec4 = pl.BlockSpec((4, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    spec7 = pl.BlockSpec((7, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    spec7 = pl.BlockSpec((n_smp, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     par = jnp.stack(
         [jnp.asarray(intr.fx, jnp.float32), jnp.asarray(intr.fy, jnp.float32),
          jnp.asarray(sigma2_int, jnp.float32), jnp.asarray(sigma2_xi, jnp.float32),
@@ -510,7 +527,8 @@ def esm_residuals_and_normal_eq_pallas(
     ).reshape(1, 8)
     out = pl.pallas_call(
         functools.partial(
-            _esm_kernel, nu=nu, gate2=gate_sigmas**2, use_geometric=use_geometric
+            _esm_kernel, nu=nu, gate2=gate_sigmas**2,
+            use_geometric=use_geometric, avg_grads=avg_grads,
         ),
         grid=(grid,),
         in_specs=[

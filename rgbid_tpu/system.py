@@ -5,10 +5,12 @@ device front end (fused per-frame program: track + fuse/switch) driven
 from the host, a KeyframeManager for lifecycle, and a back-end thread
 (loop closure + pose graph) consuming finalized keyframes.
 
-Thread layout matches the reference's two-thread split: the front end owns
-the device; the back end is a host thread (OpenCV ORB + BoW + scipy pose
-graph) that requests batched relocalization scoring from the device via
-the front-end thread's queue (device work stays on one thread).
+Thread layout matches the reference's two-thread split: the front-end
+(caller) thread drives the fused per-frame device program; the back-end
+thread (OpenCV ORB + BoW + pose graph) dispatches its own device work —
+the vmap-batched relocalization program — directly. JAX dispatch being
+thread-safe is the invariant that makes this sound; shared host state
+(BoW database, published poses) is lock-guarded.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from .mapping.export import assemble_map, write_ply, write_tum_trajectory
 from .mapping.keyframe import DeviceKeyframe
 from .mapping.manager import KeyframeManager
 from .reference_cpu import se3_np
-from .tracking.step import ProcessFrame, StepResult, pack_frame
+from .tracking.step import MotionState, ProcessFrame, StepResult, pack_frame
 
 
 class SlamSystem:
@@ -46,9 +48,9 @@ class SlamSystem:
             intr, reloc_level=self.config.backend.reloc_level
         )
         self._kf_state: Optional[DeviceKeyframe] = None
-        self._T_ck = np.eye(4)  # last tracked pose vs active keyframe
-        self._T_wc_prev = np.eye(4)
-        self._delta = np.eye(4)  # constant-velocity motion model (body frame)
+        # Device-resident motion model (T_ck, delta, lost_count) — see
+        # tracking.step.MotionState. Created at bootstrap.
+        self._motion: Optional[MotionState] = None
         self._trajectory: List[Tuple[float, np.ndarray]] = []
         self._frame_count = 0
         self._lost_count = 0
@@ -68,21 +70,28 @@ class SlamSystem:
         return self.manager.active.T_wk
 
     def process_frame(
-        self, rgb_u8: np.ndarray, depth_u16: np.ndarray, timestamp: float
+        self,
+        rgb_u8: np.ndarray,
+        depth_u16: np.ndarray,
+        timestamp: float,
+        packed=None,
     ) -> np.ndarray:
-        """Track one frame; returns the world camera pose T_wc (4x4)."""
+        """Track one frame; returns the world camera pose T_wc (4x4).
+
+        This is the flight-depth-1 path: dispatch, sync, handle. ``feed()``
+        chains several frames per host sync with identical semantics.
+        ``packed`` optionally supplies the frame's device upload
+        (``jnp.asarray(pack_frame(rgb_u8, depth_u16))``) prepared ahead of
+        time.
+        """
         import time as _time
 
         _t0 = _time.perf_counter()
-        packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
+        if packed is None:
+            packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
 
         if self._kf_state is None:
-            # Bootstrap: first frame becomes keyframe 0 at the origin.
-            self._kf_state = self._step.init_keyframe(packed)
-            self.manager.new_keyframe(timestamp, np.eye(4))
-            self._T_ck = np.eye(4)
-            T_wc = np.eye(4)
-            self._record(timestamp, T_wc, None)
+            T_wc = self._bootstrap(rgb_u8, timestamp, packed)
             return T_wc
 
         # Live pose-graph publication (the reference's back end publishes
@@ -90,25 +99,62 @@ class SlamSystem:
         # optimized keyframe poses before tracking this frame.
         self._apply_pose_updates()
 
-        T_init = se3_np.inv(self._delta) @ self._T_ck
-        res_vec, kf2 = self._step(
-            packed, self._kf_state, jnp.asarray(T_init, jnp.float32)
+        rec = self._dispatch(rgb_u8, depth_u16, timestamp, packed)
+        # Host readback of the packed ~70-float vector — the only device
+        # sync of the frame.
+        res_np = StepResult.unpack(
+            np.asarray(rec["res_vec"]), self.config.tracking.levels
         )
-        # ONE host readback per frame (the packed ~70-float vector).
-        res_np = StepResult.unpack(res_vec, self.config.tracking.levels)
+        T_wc, _ = self._handle(rec, res_np)
+        # Wall time incl. upload + device step + readback (the readback is
+        # a real device sync on this platform; block_until_ready is not).
+        self.stats[-1]["ms"] = round((_time.perf_counter() - _t0) * 1e3, 2)
+        return T_wc
 
+    def _bootstrap(self, rgb_u8, timestamp, packed) -> np.ndarray:
+        """First frame: becomes keyframe 0 at the origin."""
+        self._kf_state = self._step.init_keyframe(packed)
+        self._motion = MotionState.initial()
+        kf0 = self.manager.new_keyframe(timestamp, np.eye(4))
+        kf0.rgb = np.ascontiguousarray(rgb_u8)
+        T_wc = np.eye(4)
+        self._record(timestamp, T_wc, None)
+        return T_wc
+
+    def _dispatch(self, rgb_u8, depth_u16, timestamp, packed) -> dict:
+        """Enqueue one frame's device step (no host sync). The input
+        keyframe state is RETAINED in the returned record: if this frame's
+        readback later shows a switch, that pytree holds the retiring
+        keyframe's final fused planes for finalization."""
+        prev_state = self._kf_state
+        res_vec, kf2, motion2 = self._step(packed, prev_state, self._motion)
+        self._kf_state = kf2
+        self._motion = motion2
+        return {
+            "rgb": rgb_u8,
+            "depth": depth_u16,
+            "t": timestamp,
+            "packed": packed,
+            "prev_state": prev_state,
+            "res_vec": res_vec,
+        }
+
+    def _handle(self, rec, res_np: StepResult):
+        """Host bookkeeping for one frame's (already forced) StepResult.
+
+        Returns (T_wc, relocalized). The device already executed the
+        lost/switch/fuse branch AND the motion-model update; res_np.T is
+        the effective pose vs the keyframe that was active DURING the
+        frame (coast-and-hold already applied on lost frames).
+        """
+        timestamp = rec["t"]
         lost = bool(res_np.lost > 0.5)
         switch = bool(res_np.switch > 0.5)
+        T_eff = se3_np.orthonormalize(res_np.T.astype(np.float64))
+        T_wc = self.T_wk @ se3_np.inv(T_eff)
+        relocalized = False
         if lost:
-            # Reference behavior: reject the frame, coast on the motion
-            # prior; the device step already left the keyframe untouched.
-            # Coast exactly one prediction step, then HOLD (reset the
-            # velocity) — extrapolating the model through consecutive lost
-            # frames compounds exponentially.
             self._lost_count += 1
-            self._T_ck = T_init if self._lost_count == 1 else self._T_ck
-            self._delta = np.eye(4)
-            T_wc = self.T_wk @ se3_np.inv(self._T_ck)
             # Recovery: after enough consecutive lost frames, try global
             # relocalization against the keyframe BoW database (the
             # reference's recovery mechanism).
@@ -116,32 +162,20 @@ class SlamSystem:
                 self.backend is not None
                 and self._lost_count >= self.config.backend.reloc_after_lost
             ):
-                T_reloc = self._try_relocalize(rgb_u8, depth_u16, timestamp, packed)
+                T_reloc = self._try_relocalize(
+                    rec["rgb"], rec["depth"], timestamp, rec["packed"]
+                )
                 if T_reloc is not None:
                     T_wc = T_reloc
                     self._lost_count = 0
                     self._relocalized = True
+                    relocalized = True
         else:
             self._lost_count = 0
-            T_ck = se3_np.orthonormalize(res_np.T.astype(np.float64))
-            T_wc = self.T_wk @ se3_np.inv(T_ck)
             if switch:
-                self._on_keyframe_switch(timestamp, T_ck, T_wc, res_np)
-                self._T_ck = np.eye(4)
-            else:
-                self._T_ck = T_ck
-            self._kf_state = kf2
-
-        # Constant-velocity model from consecutive world poses (held at
-        # identity while tracking is lost — see the lost branch above).
-        if not lost:
-            self._delta = se3_np.inv(self._T_wc_prev) @ T_wc
-        self._T_wc_prev = T_wc
+                self._on_keyframe_switch(timestamp, T_eff, T_wc, res_np, rec)
         self._record(timestamp, T_wc, res_np)
-        # Wall time incl. upload + device step + readback (the readback is
-        # a real device sync on this platform; block_until_ready is not).
-        self.stats[-1]["ms"] = round((_time.perf_counter() - _t0) * 1e3, 2)
-        return T_wc
+        return T_wc, relocalized
 
     def _try_relocalize(self, rgb_u8, depth_u16, timestamp, packed):
         """Global relocalization of a lost frame against the BoW database.
@@ -205,11 +239,12 @@ class SlamSystem:
         T_qc = se3_np.orthonormalize(np.asarray(res.T[best], np.float64))
         T_wc = cand.T_wk @ se3_np.inv(T_qc)
 
-        # The current frame founds a fresh keyframe at the recovered pose.
+        # The current frame founds a fresh keyframe at the recovered pose;
+        # reset the device tracking state (identity pose + velocity).
         self._kf_state = self._step.init_keyframe(packed)
+        self._motion = MotionState.initial()
         new = self.manager.new_keyframe(timestamp, T_wc)
-        self._T_ck = np.eye(4)
-        self._delta = np.eye(4)
+        new.rgb = np.ascontiguousarray(rgb_u8)
         # Loop edge to the matched keyframe keeps the pose graph connected.
         H = np.asarray(res.H[best], np.float64) * float(res.n_valid[best])
         self.backend.add_external_loop_edge(
@@ -223,12 +258,21 @@ class SlamSystem:
         return T_wc
 
     def _on_keyframe_switch(
-        self, timestamp: float, T_ck: np.ndarray, T_wc: np.ndarray, res: StepResult
+        self,
+        timestamp: float,
+        T_ck: np.ndarray,
+        T_wc: np.ndarray,
+        res: StepResult,
+        rec: dict,
     ) -> None:
         old = self.manager.active
-        # Finalize the retiring keyframe from its last fused device state.
-        self.manager.finalize(old, self._kf_state)
+        # The device created the new keyframe in-program on this frame; the
+        # retiring keyframe's final fused planes are the step's INPUT state,
+        # retained in the dispatch record for exactly this moment (flights
+        # may hand us the switch flag several frames after the fact).
+        self.manager.finalize(old, rec["prev_state"])
         new = self.manager.new_keyframe(timestamp, T_wc)
+        new.rgb = np.ascontiguousarray(rec["rgb"])
         # Odometry edge old->new: T_{old<-new} = inv(T_ck).
         info = np.linalg.pinv(res.cov.astype(np.float64) + 1e-12 * np.eye(6))
         self.manager.add_odometry_edge(
@@ -259,6 +303,80 @@ class SlamSystem:
         self._frame_count += 1
 
     # ------------------------------------------------------------------
+    def feed(self, frames, flight_depth: Optional[int] = None) -> List[np.ndarray]:
+        """Process an iterable of frames in pipelined flights.
+
+        ``frames`` yields objects with .rgb/.depth/.timestamp (the
+        datasets' Frame) or (rgb, depth, timestamp) tuples. Up to
+        ``flight_depth`` (default config.pipeline_depth) per-frame device
+        programs are chained WITHOUT host syncs — the on-device motion
+        model + in-program keyframe switching make each step's inputs
+        purely device-resident — then ONE readback forces the whole chain
+        and the host replays its bookkeeping for every frame in order. On
+        the sandbox TPU a not-yet-ready readback costs ~28 ms regardless
+        of size while chained dispatches are ~free, so flights amortize
+        the dominant fixed cost by ~flight_depth. Returns per-frame world
+        poses.
+        """
+        depth_k = flight_depth or getattr(self.config, "pipeline_depth", 8)
+        poses: List[np.ndarray] = []
+        pending: List[dict] = []
+        for f in frames:
+            if hasattr(f, "rgb"):
+                rgb, depth, t = f.rgb, f.depth, f.timestamp
+            else:
+                rgb, depth, t = f
+            packed = jnp.asarray(pack_frame(rgb, depth))
+            if self._kf_state is None:
+                poses.append(self.process_frame(rgb, depth, t, packed=packed))
+                continue
+            if not pending:
+                self._apply_pose_updates()
+            pending.append(self._dispatch(rgb, depth, t, packed))
+            if len(pending) >= depth_k:
+                poses.extend(self._drain(pending))
+                pending = []
+        if pending:
+            poses.extend(self._drain(pending))
+        return poses
+
+    def _drain(self, pending: List[dict]) -> List[np.ndarray]:
+        """Force + handle one flight of dispatched frames, in order.
+
+        Forcing the LAST result syncs the whole chain (one expensive
+        readback); earlier results are then already materialized and read
+        for free. If a frame triggers relocalization mid-flight, the
+        remaining frames' device results (computed against the pre-reloc
+        state) are discarded and those frames are re-dispatched against
+        the fresh state — the rare-path cost of the lost-recovery stall.
+        """
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        levels = self.config.tracking.levels
+        _ = np.asarray(pending[-1]["res_vec"])  # force the whole flight
+        poses = []
+        for i, rec in enumerate(pending):
+            res_np = StepResult.unpack(np.asarray(rec["res_vec"]), levels)
+            T_wc, relocalized = self._handle(rec, res_np)
+            poses.append(T_wc)
+            if relocalized and i + 1 < len(pending):
+                # Device state was reset by relocalization: replay the
+                # rest of the flight against it (depth-1; rare path).
+                for rec2 in pending[i + 1 :]:
+                    self._apply_pose_updates()
+                    rec3 = self._dispatch(
+                        rec2["rgb"], rec2["depth"], rec2["t"], rec2["packed"]
+                    )
+                    res3 = StepResult.unpack(np.asarray(rec3["res_vec"]), levels)
+                    T_wc3, _ = self._handle(rec3, res3)
+                    poses.append(T_wc3)
+                break
+        ms = round((_time.perf_counter() - _t0) * 1e3 / max(len(poses), 1), 2)
+        for rec_stat in self.stats[-len(poses) :]:
+            rec_stat.setdefault("ms", ms)
+        return poses
+
     def finish(self) -> None:
         """Finalize the active keyframe and drain the back end."""
         if self._kf_state is not None and self.manager.active.cloud is None:
@@ -289,12 +407,10 @@ class SlamSystem:
                 t, T_wc = self._trajectory[i]
                 correction = updates[kf_id] @ np.linalg.inv(old_poses[kf_id])
                 self._trajectory[i] = (t, correction @ T_wc)
-        # Keep the constant-velocity model consistent: the last world pose
-        # moves with the active keyframe (T_ck and delta are relative and
-        # unaffected).
-        if active_id in updates:
-            corr = updates[active_id] @ np.linalg.inv(old_poses[active_id])
-            self._T_wc_prev = corr @ self._T_wc_prev
+        # The motion model lives on device and is purely RELATIVE (T_ck and
+        # delta are keyframe-/camera-frame quantities), so rebasing world
+        # keyframe poses requires no motion-state correction.
+        del active_id
 
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         return list(self._trajectory)

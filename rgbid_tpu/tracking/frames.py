@@ -22,8 +22,12 @@ class FrameLevel(NamedTuple):
     intensity: jax.Array  # (H, W) f32 [0, 1]
     xi: jax.Array  # (H, W) f32 inverse depth (0 where invalid)
     mask: jax.Array  # (H, W) f32 {0, 1}
-    # ESM mode only: (7, H, W) stack [I, xi, mask, gxI, gyI, gxXi, gyXi]
-    # sampled jointly per IRLS iteration; None in IC mode.
+    # ESM mode only: the channel stack sampled jointly (4 corner gathers
+    # total) per IRLS iteration. Levels >= esm_min_level carry the full
+    # (7, H, W) [I, xi, mask, gxI, gyI, gxXi, gyXi] for ESM gradient
+    # averaging; finer levels carry only (3, H, W) [I, xi, mask] (template
+    # gradients are used there — see config.TrackingConfig.esm_min_level).
+    # None in IC mode.
     stack7: jax.Array | None = None
 
 
@@ -52,6 +56,21 @@ def preprocess_frame(
     """
     intensity = image.intensity_from_rgb(rgb_u8)
     xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
+    return preprocess_planes(intensity, xi, mask, levels, esm)
+
+
+def preprocess_planes(
+    intensity: jax.Array,
+    xi: jax.Array,
+    mask: jax.Array,
+    levels: int,
+    esm: bool = False,
+    esm_min_level: int = 0,
+) -> Tuple[FrameLevel, ...]:
+    """Pyramid construction from already-converted level-0 planes (the
+    production path unpacks a gray-u8 + depth-u16 packed upload instead of
+    full RGB — 0.9 MB vs 1.5 MB per VGA frame, and upload bytes are the
+    sandbox's hard floor)."""
     # NOTE: the batched build_pyramids_multi variant is a net loss on the
     # emulated sandbox TPU (stack copies cost more than the saved conv
     # dispatches); on real hardware prefer the batched path.
@@ -63,12 +82,17 @@ def preprocess_frame(
     for l in range(levels):
         stack7 = None
         if esm:
-            ones = jnp.ones_like(masks[l])
-            gx_i, gy_i = image.gradients(ints[l], ones)
-            gx_x, gy_x = image.gradients(xis[l], masks[l])
-            stack7 = jnp.stack(
-                [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
-            )
+            if l >= esm_min_level:
+                ones = jnp.ones_like(masks[l])
+                gx_i, gy_i = image.gradients(ints[l], ones)
+                gx_x, gy_x = image.gradients(xis[l], masks[l])
+                stack7 = jnp.stack(
+                    [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
+                )
+            else:
+                # Template-gradient levels: no current-frame gradients are
+                # sampled, so materialize only the 3 tracker planes.
+                stack7 = jnp.stack([ints[l], xis[l], masks[l]])
         out.append(FrameLevel(ints[l], xis[l], masks[l], stack7))
     return tuple(out)
 

@@ -1,18 +1,24 @@
-"""The fused per-frame device program: ONE dispatch per frame.
+"""The fused per-frame device program: ONE dispatch per frame, chainable
+into multi-frame flights with zero host syncs in between.
 
 Reference architecture (SURVEY.md §3.2): upload → ~12 kernel launches →
 per-iteration readbacks → host keyframe logic → fusion kernels. TPU-native
 architecture: raw u8/u16 planes go up; preprocessing, pyramids, the whole
 coarse-to-fine IRLS tracker, the keyframe-switch decision, and EITHER
 inverse-depth fusion + template rebuild OR new-keyframe creation OR a
-lost no-op (lax.switch — one branch executes) all run inside a single
-jitted XLA program. One packed ~70-float StepResult vector returns to
-the host each frame.
+lost no-op (one branch executes) all run inside a single jitted XLA
+program. One packed ~70-float StepResult vector returns to the host each
+frame.
 
-This eliminates every per-frame host↔device round trip except the raw
-frame upload and the diagnostics readback — on the sandbox TPU (3.5 ms
-fixed cost per dispatched program, SURVEY.md App. A) this is the
-difference between ~1 s/frame naive and real-time-class behavior.
+The constant-velocity motion model ALSO lives on device (MotionState:
+T_ck, delta, lost_count — including the coast-and-hold lost policy), so
+frame i+1's program needs NO host input besides its raw upload. The host
+can therefore dispatch a whole FLIGHT of frames and read results back
+once per flight: on the sandbox TPU every host readback of a not-yet-
+ready value costs ~28 ms regardless of size, while an extra chained
+program costs ~1-3 ms and readbacks of already-forced values are free
+(measured this round). SlamSystem.feed() exploits this; process_frame
+remains the depth-1 special case with identical semantics.
 """
 
 from __future__ import annotations
@@ -23,12 +29,33 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core import se3
 from ..core.camera import Intrinsics, level_intrinsics
 from ..core.config import SlamConfig
 from ..mapping.fusion import fuse_inverse_depth
 from ..mapping.keyframe import DeviceKeyframe, create_device_keyframe, rebuild_after_fusion
-from .frames import preprocess_frame
+from .frames import preprocess_planes
 from .tracker import TrackResult, _track_impl
+
+
+class MotionState(NamedTuple):
+    """Device-resident inter-frame tracking state (the constant-velocity
+    motion model + the lost-frame coast-and-hold policy), threaded through
+    chained per-frame programs so a flight needs no host round trips.
+
+    T_ck:  (4, 4) pose of the last frame vs the active keyframe.
+    delta: (4, 4) last inter-frame camera motion (identity while lost).
+    lost_count: () f32 consecutive lost frames so far.
+    """
+
+    T_ck: jax.Array
+    delta: jax.Array
+    lost_count: jax.Array
+
+    @classmethod
+    def initial(cls) -> "MotionState":
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return cls(T_ck=eye, delta=eye, lost_count=jnp.asarray(0.0, jnp.float32))
 
 
 class StepResult(NamedTuple):
@@ -70,24 +97,43 @@ class StepResult(NamedTuple):
 
 
 def pack_frame(rgb_u8, depth_u16):
-    """Host-side: pack RGB u8 + depth u16 into one (H, W, 5) u8 buffer.
+    """Host-side: gray u8 + depth u16 into one (H, W, 3) u8 buffer.
 
     One device_put instead of two (uploads carry a large fixed cost on the
-    sandbox; measured 37+25 ms as two calls vs ~37 ms packed).
+    sandbox), and gray instead of RGB (0.9 MB vs 1.5 MB at VGA — upload
+    bytes are the sandbox's hard per-frame floor; the color image stays on
+    the host for ORB features and colored map export, where it is needed
+    anyway). The u8 luma quantization (1/255 ≈ 0.004 in [0,1] intensity)
+    is below the photometric residual scales the tracker operates at
+    (validated: bench-clip ATE unchanged).
     """
     import numpy as np
 
     h, w = depth_u16.shape
+    if rgb_u8.ndim == 2:  # already gray
+        gray = rgb_u8
+    else:
+        try:
+            import cv2
+
+            gray = cv2.cvtColor(np.ascontiguousarray(rgb_u8), cv2.COLOR_RGB2GRAY)
+        except Exception:
+            f = rgb_u8.astype(np.float32)
+            gray = np.clip(
+                0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2] + 0.5,
+                0,
+                255,
+            ).astype(np.uint8)
     d8 = np.ascontiguousarray(depth_u16).view(np.uint8).reshape(h, w, 2)
-    return np.concatenate([rgb_u8, d8], axis=2)
+    return np.concatenate([gray[..., None], d8], axis=2)
 
 
 def unpack_frame(packed_u8):
-    """Device-side inverse of pack_frame (little-endian u16 reassembly)."""
-    rgb = packed_u8[:, :, :3]
-    lo = packed_u8[:, :, 3].astype(jnp.uint16)
-    hi = packed_u8[:, :, 4].astype(jnp.uint16)
-    return rgb, lo | (hi << 8)
+    """Device-side inverse of pack_frame: (gray u8, depth u16)."""
+    gray = packed_u8[:, :, 0]
+    lo = packed_u8[:, :, 1].astype(jnp.uint16)
+    hi = packed_u8[:, :, 2].astype(jnp.uint16)
+    return gray, lo | (hi << 8)
 
 
 def _rotation_angle(R: jax.Array) -> jax.Array:
@@ -98,20 +144,28 @@ def _rotation_angle(R: jax.Array) -> jax.Array:
 def _process_frame_impl(
     packed_u8: jax.Array,
     kf: DeviceKeyframe,
-    T_init: jax.Array,
+    motion: MotionState,
     intr: Intrinsics,
     cfg: SlamConfig,
-) -> Tuple[jax.Array, DeviceKeyframe]:
+) -> Tuple[jax.Array, DeviceKeyframe, MotionState]:
     tcfg, kcfg, fcfg = cfg.tracking, cfg.keyframe, cfg.fusion
     intrs = tuple(level_intrinsics(intr, l) for l in range(tcfg.levels))
     jac_dtype = jnp.bfloat16 if tcfg.jac_dtype == "bf16" else jnp.float32
     esm = getattr(tcfg, "jacobian", "ic") == "esm"
 
-    rgb_u8, depth_u16 = unpack_frame(packed_u8)
-    cur = preprocess_frame(
-        rgb_u8, depth_u16, tcfg.levels, cfg.depth_scale, cfg.min_depth,
-        cfg.max_depth, esm,
+    gray_u8, depth_u16 = unpack_frame(packed_u8)
+    from ..ops import image as _image
+
+    intensity = gray_u8.astype(jnp.float32) * (1.0 / 255.0)
+    xi, mask = _image.inverse_depth_from_u16(
+        depth_u16, cfg.depth_scale, cfg.min_depth, cfg.max_depth
     )
+    cur = preprocess_planes(
+        intensity, xi, mask, tcfg.levels, esm, getattr(tcfg, "esm_min_level", 0)
+    )
+    # Constant-velocity prediction (on device; f32 compose chains need the
+    # Newton-polar re-projection onto SO(3) — see core/se3.py).
+    T_init = se3.orthonormalize(se3.inv(motion.delta) @ motion.T_ck)
     track: TrackResult = _track_impl(kf.levels, cur, T_init, intrs, tcfg)
 
     # Pose covariance: inverse of the final normal matrix (information).
@@ -145,8 +199,7 @@ def _process_frame_impl(
 
     def keep_branch(operands):
         kf, cur, T, cov = operands
-        if not fcfg.enabled:
-            return kf, jnp.asarray(0.0, jnp.float32)
+        cur0 = cur[0]
         # Inflate the (overconfident, pixel-independence-assuming) tracker
         # covariance with a fixed pose-noise floor before propagation.
         floor = jnp.diag(
@@ -159,20 +212,27 @@ def _process_frame_impl(
             kf.levels[0].xi,
             kf.var,
             kf.levels[0].mask,
-            cur[0].xi,
-            cur[0].mask,
+            cur0.xi,
+            cur0.mask,
             T,
             cov + floor,
             intrs[0],
             fcfg,
         )
         kf2 = rebuild_after_fusion(
-            kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian
+            kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian,
+            fcfg.coarse_rebuild_every,
         )
         return kf2, n_fused
 
     def switch_branch(operands):
         kf, cur, T, cov = operands
+        # The current frame founds the new keyframe IN-PROGRAM: the device
+        # state evolution is fully self-contained, which is what lets the
+        # host run whole flights without syncing. The retiring keyframe's
+        # fused planes are this step's INPUT state — the host retains that
+        # pytree reference (no copy) and finalizes from it when it reads
+        # this frame's switch flag.
         kf2 = create_device_keyframe(cur, intr, fcfg, jac_dtype, tcfg.jacobian)
         return kf2, jnp.asarray(0.0, jnp.float32)
 
@@ -181,13 +241,38 @@ def _process_frame_impl(
         return kf, jnp.asarray(0.0, jnp.float32)
 
     # Three-way: lost -> no-op; switch -> new keyframe; else fuse.
-    idx = jnp.where(lost, 2, jnp.where(switch, 1, 0)).astype(jnp.int32)
-    kf2, n_fused = jax.lax.switch(
-        idx, [keep_branch, switch_branch, lost_branch], (kf, cur, track.T, cov)
+    if fcfg.enabled:
+        idx = jnp.where(lost, 2, jnp.where(switch, 1, 0)).astype(jnp.int32)
+        kf2, n_fused = jax.lax.switch(
+            idx, [keep_branch, switch_branch, lost_branch], (kf, cur, track.T, cov)
+        )
+    else:
+        kf2, n_fused = jax.lax.cond(
+            switch & jnp.logical_not(lost),
+            switch_branch,
+            lost_branch,
+            (kf, cur, track.T, cov),
+        )
+
+    # Motion-model update (the host's old per-frame bookkeeping, on device):
+    # coast one prediction step on the FIRST lost frame, then hold; reset
+    # the inter-frame velocity while lost; re-anchor T_ck at identity when
+    # a new keyframe is founded.
+    eye = jnp.eye(4, dtype=jnp.float32)
+    first_lost = motion.lost_count < 0.5
+    T_eff = jnp.where(lost, jnp.where(first_lost, T_init, motion.T_ck), track.T)
+    delta_new = jnp.where(
+        lost, eye, se3.orthonormalize(motion.T_ck @ se3.inv(track.T))
+    )
+    T_ck_new = jnp.where(switch & jnp.logical_not(lost), eye, T_eff)
+    motion2 = MotionState(
+        T_ck=T_ck_new,
+        delta=delta_new,
+        lost_count=jnp.where(lost, motion.lost_count + 1.0, 0.0),
     )
 
     res = StepResult(
-        T=track.T,
+        T=T_eff,
         cov=cov,
         switch=switch.astype(jnp.float32),
         lost=lost.astype(jnp.float32),
@@ -199,11 +284,20 @@ def _process_frame_impl(
         sigma2_int=track.sigma2_int,
         sigma2_xi=track.sigma2_xi,
     )
-    return res.pack(), kf2
+    return res.pack(), kf2, motion2
 
 
 class ProcessFrame:
-    """Jit-compiled per-frame step bound to (intrinsics, config)."""
+    """Jit-compiled per-frame step bound to (intrinsics, config).
+
+    The keyframe argument is deliberately NOT donated: the host retains
+    the input-state pytree of each in-flight frame so that when a switch
+    flag is read back (up to flight_depth frames later) the retiring
+    keyframe's fused planes are still alive for finalization. Donation was
+    measured a no-op on the sandbox emulator, and on real v5e the pass-
+    through copies it would save are ~30 MB at HBM bandwidth (~15 us) —
+    while flight pipelining saves ~28 ms of host-sync cost per frame.
+    """
 
     def __init__(self, intr: Intrinsics, cfg: SlamConfig):
         self.intr = intr
@@ -218,16 +312,17 @@ class ProcessFrame:
         esm = getattr(cfg.tracking, "jacobian", "ic") == "esm"
 
         def _init(packed):
-            rgb, d16 = unpack_frame(packed)
+            from ..ops import image as _image
+
+            gray, d16 = unpack_frame(packed)
+            intensity = gray.astype(jnp.float32) * (1.0 / 255.0)
+            xi, mask = _image.inverse_depth_from_u16(
+                d16, cfg.depth_scale, cfg.min_depth, cfg.max_depth
+            )
             return create_device_keyframe(
-                preprocess_frame(
-                    rgb,
-                    d16,
-                    cfg.tracking.levels,
-                    cfg.depth_scale,
-                    cfg.min_depth,
-                    cfg.max_depth,
-                    esm,
+                preprocess_planes(
+                    intensity, xi, mask, cfg.tracking.levels, esm,
+                    getattr(cfg.tracking, "esm_min_level", 0),
                 ),
                 intr,
                 cfg.fusion,
@@ -241,7 +336,8 @@ class ProcessFrame:
         return self._init_kf(packed_u8)
 
     def __call__(
-        self, packed_u8, kf: DeviceKeyframe, T_init
-    ) -> Tuple[jax.Array, DeviceKeyframe]:
-        """Returns (packed StepResult vector (device), new keyframe state)."""
-        return self._fn(packed_u8, kf, T_init)
+        self, packed_u8, kf: DeviceKeyframe, motion: MotionState
+    ) -> Tuple[jax.Array, DeviceKeyframe, MotionState]:
+        """Returns (packed StepResult vector (device-resident until the
+        caller forces it), new keyframe state, new motion state)."""
+        return self._fn(packed_u8, kf, motion)

@@ -20,7 +20,7 @@ import numpy as np
 if TYPE_CHECKING:
     from ..system import SlamSystem
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: DeviceKeyframe.fused_count leaf, kf rgb, loop edges
 
 
 def save(system: "SlamSystem", path: str) -> None:
@@ -37,9 +37,23 @@ def save(system: "SlamSystem", path: str) -> None:
             {"from_id": e.from_id, "to_id": e.to_id} for e in system.manager.edges
         ],
     }
-    arrays["T_ck"] = np.asarray(system._T_ck)
-    arrays["T_wc_prev"] = np.asarray(system._T_wc_prev)
-    arrays["delta"] = np.asarray(system._delta)
+    # Accepted loop edges (back end): without them, resumed runs would
+    # silently drop all pre-snapshot loop constraints from future
+    # pose-graph optimizations.
+    loop_edges = []
+    if system.backend is not None:
+        loop_edges = list(system.backend._loop_edges)
+    meta["loop_edges"] = [
+        {"from_id": e["from_id"], "to_id": e["to_id"]} for e in loop_edges
+    ]
+    for i, e in enumerate(loop_edges):
+        arrays[f"ledge_{i}_T"] = np.asarray(e["T_rel"])
+        arrays[f"ledge_{i}_info"] = np.asarray(e["information"])
+    # Device motion state (bit-exact resume of the constant-velocity model).
+    if system._motion is not None:
+        arrays["T_ck"] = np.asarray(system._motion.T_ck)
+        arrays["delta"] = np.asarray(system._motion.delta)
+        arrays["lost_count"] = np.asarray(system._motion.lost_count)
     arrays["traj_t"] = np.asarray([t for t, _ in system._trajectory])
     arrays["traj_T"] = np.stack([T for _, T in system._trajectory]) if system._trajectory else np.zeros((0, 4, 4))
 
@@ -50,6 +64,8 @@ def save(system: "SlamSystem", path: str) -> None:
         p = f"kf_{kf.kf_id}_"
         arrays[p + "T_wk"] = kf.T_wk
         arrays[p + "ts"] = np.asarray(kf.timestamp)
+        if kf.rgb is not None:
+            arrays[p + "rgb"] = kf.rgb
         if kf.cloud is not None:
             arrays[p + "cloud"] = kf.cloud
         if kf.descriptors is not None:
@@ -90,15 +106,22 @@ def restore(path: str, config=None) -> "SlamSystem":
 
     system._frame_count = meta["frame_count"]
     system.stats = meta["stats"]
-    system._T_ck = z["T_ck"]
-    system._T_wc_prev = z["T_wc_prev"]
-    system._delta = z["delta"]
+    if "T_ck" in z:
+        from ..tracking.step import MotionState
+
+        system._motion = MotionState(
+            T_ck=jnp.asarray(z["T_ck"], jnp.float32),
+            delta=jnp.asarray(z["delta"], jnp.float32),
+            lost_count=jnp.asarray(z["lost_count"], jnp.float32),
+        )
     system._trajectory = [
         (float(t), T) for t, T in zip(z["traj_t"], z["traj_T"])
     ]
     for i in range(meta["n_keyframes"]):
         p = f"kf_{i}_"
         kf = Keyframe(kf_id=i, timestamp=float(z[p + "ts"]), T_wk=z[p + "T_wk"])
+        if p + "rgb" in z:
+            kf.rgb = z[p + "rgb"]
         if p + "cloud" in z:
             kf.cloud = z[p + "cloud"]
         if p + "desc" in z:
@@ -114,6 +137,27 @@ def restore(path: str, config=None) -> "SlamSystem":
         system.manager.edges.append(
             OdometryEdge(e["from_id"], e["to_id"], z[f"edge_{i}_T"], z[f"edge_{i}_info"])
         )
+    if system.backend is not None:
+        # Rehydrate the back end: loop edges back into the optimizer's
+        # input set, and every restored keyframe's descriptors back into
+        # the BoW database (else loop closure / lost-frame relocalization
+        # could never match any pre-snapshot keyframe).
+        for i, e in enumerate(meta.get("loop_edges", [])):
+            system.backend._loop_edges.append(
+                {
+                    "from_id": e["from_id"],
+                    "to_id": e["to_id"],
+                    "T_rel": z[f"ledge_{i}_T"],
+                    "information": z[f"ledge_{i}_info"],
+                }
+            )
+        lc = system.backend.loop_closer
+        for kf in system.manager.keyframes:
+            if kf.descriptors is not None and len(kf.descriptors) > 0:
+                with lc.db_lock:
+                    lc.db.insert(kf.kf_id, kf.descriptors)
+                    kf.bow = dict(lc.db.entries.get(kf.kf_id, {}))
+                system.backend._processed.add(kf.kf_id)
     if "kf_state_n_leaves" in meta:
         # Rebuild the pytree structure (and leaf dtypes) from a template of
         # the same config.
@@ -138,9 +182,15 @@ def _kf_state_template(system: "SlamSystem"):
         jnp.bfloat16 if system.config.tracking.jac_dtype == "bf16" else jnp.float32
     )
     dummy = create_device_keyframe(
-        preprocess_frame(rgb, d, system.config.tracking.levels),
+        preprocess_frame(
+            rgb,
+            d,
+            system.config.tracking.levels,
+            esm=system.config.tracking.jacobian == "esm",
+        ),
         system.intr,
         system.config.fusion,
         jac_dtype,
+        system.config.tracking.jacobian,
     )
     return jax.tree_util.tree_flatten(dummy)

@@ -176,3 +176,79 @@ def test_reloc_scorer_rejects_unrelated_views():
 
     res = scorer.score_pairs([planes(scene_a, np.eye(4))], [planes(scene_b, np.eye(4))])
     assert not scorer.accept(res, 0)
+
+
+# ---------------------------------------------------------------------------
+# Sparse analytic pose graph (round 2): Jacobians, oracle equality, scale
+
+
+def test_analytic_edge_jacobians_match_fd():
+    from rgbid_tpu.backend.pose_graph import (
+        _numeric_jacobians,
+        edge_jacobians_analytic,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        T_from = se3_np.exp(rng.normal(scale=0.8, size=6))
+        T_to = se3_np.exp(rng.normal(scale=0.8, size=6))
+        T_rel = se3_np.exp(rng.normal(scale=0.3, size=6))
+        Jf_a, Jt_a, r = edge_jacobians_analytic(T_from, T_to, T_rel)
+        Jf_n, Jt_n = _numeric_jacobians(T_from, T_to, T_rel)
+        np.testing.assert_allclose(Jf_a, Jf_n, atol=1e-6)
+        np.testing.assert_allclose(Jt_a, Jt_n, atol=1e-6)
+
+
+def test_sparse_matches_dense_fd_oracle():
+    gt, rels, noisy = _chain_with_drift(n=14, drift=0.03, seed=3)
+    n = len(gt)
+    poses = [np.eye(4)]
+    for R in noisy:
+        poses.append(poses[-1] @ R)
+    edges = [GraphEdge(i, i + 1, noisy[i], np.eye(6) * 1e2) for i in range(n - 1)]
+    T_loop = se3_np.inv(gt[0]) @ gt[-1]
+    edges.append(GraphEdge(0, n - 1, T_loop, np.eye(6) * 1e6, robust=True))
+    out_s = optimize_pose_graph(poses, edges, iterations=40, method="sparse")
+    out_d = optimize_pose_graph(poses, edges, iterations=40, method="dense_fd")
+    # Both converge to the same stationary point (analytic vs FD Jacobians
+    # and sparse vs dense solves agree to solver precision).
+    assert abs(out_s["final_error"] - out_d["final_error"]) <= 1e-8 * max(
+        out_d["final_error"], 1.0
+    )
+    for a, b in zip(out_s["poses"], out_d["poses"]):
+        np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+def test_sparse_scales_to_large_graphs():
+    """500 nodes, ~2000 edges: must optimize in well under a second per
+    the round-2 goal (the dense FD loop took minutes at this size)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    n = 500
+    gt = [np.eye(4)]
+    rels = []
+    for i in range(n - 1):
+        d = np.array([0.1, 0.02, 0.05, 0.01, 0.04, 0.005]) + rng.normal(scale=0.005, size=6)
+        T_rel = se3_np.exp(d)
+        rels.append(T_rel)
+        gt.append(gt[-1] @ T_rel)
+    poses = [np.eye(4)]
+    for R in rels:
+        noisy = se3_np.exp(rng.normal(scale=0.004, size=6)) @ R
+        poses.append(poses[-1] @ noisy)
+    edges = [GraphEdge(i, i + 1, rels[i], np.eye(6) * 1e3) for i in range(n - 1)]
+    # ~1500 random extra constraints (loop-closure-like, exact).
+    for _ in range(1500):
+        i, j = sorted(rng.integers(0, n, 2))
+        if i == j:
+            continue
+        T_rel = se3_np.inv(gt[i]) @ gt[j]  # T_{i<-j}: T_wi @ T_rel = T_wj
+        edges.append(GraphEdge(i, j, T_rel, np.eye(6) * 1e3, robust=True))
+    t0 = time.perf_counter()
+    out = optimize_pose_graph(poses, edges, iterations=10, method="sparse")
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, dt  # generous CI bound; measured ~0.3-0.6 s
+    assert out["final_error"] < out["initial_error"] * 1e-3
+    err_end = np.linalg.norm(out["poses"][-1][:3, 3] - gt[-1][:3, 3])
+    assert err_end < 0.01, err_end

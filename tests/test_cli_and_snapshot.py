@@ -63,7 +63,12 @@ def test_snapshot_roundtrip(tmp_path):
     # Identical bookkeeping state.
     assert slam2._frame_count == slam._frame_count
     assert len(slam2.manager.keyframes) == len(slam.manager.keyframes)
-    np.testing.assert_allclose(slam2._T_ck, slam._T_ck)
+    np.testing.assert_allclose(
+        np.asarray(slam2._motion.T_ck), np.asarray(slam._motion.T_ck)
+    )
+    np.testing.assert_allclose(
+        np.asarray(slam2._motion.delta), np.asarray(slam._motion.delta)
+    )
     np.testing.assert_allclose(
         np.asarray(slam2._kf_state.levels[0].xi), np.asarray(slam._kf_state.levels[0].xi)
     )
@@ -73,3 +78,51 @@ def test_snapshot_roundtrip(tmp_path):
         Ta = slam.process_frame(seq.rgb[i], seq.depth[i], seq.timestamps[i])
         Tb = slam2.process_frame(seq.rgb[i], seq.depth[i], seq.timestamps[i])
         np.testing.assert_allclose(Ta, Tb, atol=1e-5)
+
+
+def test_snapshot_restores_backend_state(tmp_path):
+    """Restored runs must keep loop edges AND a queryable BoW database:
+    pre-snapshot keyframes must stay matchable after resume."""
+    from rgbid_tpu.core.camera import Intrinsics
+    from rgbid_tpu.core.config import SlamConfig
+    from rgbid_tpu.datasets import synthetic
+    from rgbid_tpu.system import SlamSystem
+    from rgbid_tpu.utils import snapshot
+
+    INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+    cfg = SlamConfig().override(
+        **{
+            "tracking.levels": 3,
+            "tracking.iters": (4, 8, 16),
+            "keyframe.max_translation": 0.08,
+            "backend.min_keyframe_gap": 4,
+        }
+    )
+    seq = synthetic.generate_sequence(
+        n_frames=22, intr=INTR, motion="loop", trans_amp=0.35, rot_amp=0.1, seed=7
+    )
+    slam = SlamSystem(INTR, cfg)
+    for i in range(22):
+        slam.process_frame(seq.rgb[i], seq.depth[i], seq.timestamps[i])
+    slam.finish()
+    assert slam.backend.num_loop_closures > 0
+    n_db = len(slam.backend.loop_closer.db.entries)
+    assert n_db > 0
+
+    path = str(tmp_path / "state.npz")
+    snapshot.save(slam, path)
+    slam2 = snapshot.restore(path)
+
+    # Loop edges survived the round trip.
+    assert len(slam2.backend._loop_edges) == len(slam.backend._loop_edges)
+    e0, e1 = slam.backend._loop_edges[0], slam2.backend._loop_edges[0]
+    assert e0["from_id"] == e1["from_id"] and e0["to_id"] == e1["to_id"]
+    np.testing.assert_allclose(e0["T_rel"], e1["T_rel"])
+    # Every keyframe with descriptors is back in the BoW database and will
+    # not be re-processed as if new.
+    assert len(slam2.backend.loop_closer.db.entries) == n_db
+    for kf in slam2.manager.keyframes:
+        if kf.descriptors is not None and len(kf.descriptors) > 0:
+            assert kf.kf_id in slam2.backend.loop_closer.db.entries
+            assert kf.kf_id in slam2.backend._processed
+    slam2.finish()

@@ -102,3 +102,27 @@ def test_midrun_pose_publication(run):
     # (the pre-update last pose was tracked against `active`)
     rebased = corr @ traj_before
     np.testing.assert_allclose(slam.poses()[-2], rebased, atol=1e-9)
+
+
+def test_optimize_tolerates_concurrent_keyframe_append(run):
+    """Race regression (ADVICE r1): an edge referencing a keyframe appended
+    AFTER the pose snapshot must be dropped, not crash the backend thread."""
+    _, slam = run
+    backend = slam.backend
+    n = len(slam.manager.keyframes)
+    # Simulate the front end racing in a new keyframe + odometry edge
+    # between the pose snapshot and edge collection: an edge pointing past
+    # the end of the pose list.
+    bogus = {
+        "from_id": n - 1,
+        "to_id": n + 5,  # not yet in manager.keyframes
+        "T_rel": np.eye(4),
+        "information": np.eye(6),
+    }
+    backend._loop_edges.append(bogus)
+    try:
+        backend._optimize()  # must not raise
+        assert backend.has_updates()
+    finally:
+        backend._loop_edges.remove(bogus)
+        backend.take_updates()

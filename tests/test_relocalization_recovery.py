@@ -75,9 +75,9 @@ def test_relocalizes_after_sensor_dropout():
     gt = np.linalg.inv(seq.gt_poses[0]) @ seq.gt_poses[2]
     err = np.linalg.norm(T_back[:3, 3] - gt[:3, 3])
     assert err < 0.03, err
-    # A fresh keyframe exists and tracking resumes cleanly against it.
+    # A fresh keyframe exists and tracking resumes cleanly against it
+    # (relocalization reset the device motion state to identity).
     assert len(slam.manager.keyframes) == n_kfs_before + 1
-    slam._T_wc_prev = T_back
     T_next = slam.process_frame(seq.rgb[3], seq.depth[3], 2.1)
     assert not slam.stats[-1]["lost"]
     gt3 = np.linalg.inv(seq.gt_poses[0]) @ seq.gt_poses[3]
