@@ -43,14 +43,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_rows(h: int) -> int:
-    """Row-tile height: divides h, multiple of 8 when possible, ~<=120.
+def _tile_rows(h: int, w: int = 640, planes: int = 8) -> int:
+    """Row-tile height: divides h, multiple of 8 when possible, sized so
+    the kernel's resident VMEM (all input planes x double buffering) stays
+    within budget. v5e scoped VMEM is 16 MB; target <=8 MB of tile inputs
+    so compiler scratch and the output block always fit (a 17-plane ESM
+    tile at 120x640 measured 17.7 MB and OOM'd on real Mosaic).
 
     Callers guarantee h % 8 == 0 via _pad_rows, so the final fallback of 8
     always divides and a full-height (VMEM-overflowing) block never occurs.
     """
+    budget = int(8e6 / max(w * planes * 4 * 2, 1))
     for t in (120, 96, 80, 64, 60, 48, 40, 32, 24, 16, 8):
-        if h % t == 0:
+        if t <= max(budget, 8) and h % t == 0:
             return t
     return h
 
@@ -97,7 +102,7 @@ def sigma_stats(i_s, xi_s, rho, kf_int, valid, s2i, s2x, nu: float):
     """Returns (sum w(s2)*r_i^2, sum w(s2)*r_x^2, n_valid) over all pixels."""
     h, w = i_s.shape
     (i_s, xi_s, rho, kf_int, valid), h = _pad_rows([i_s, xi_s, rho, kf_int, valid], h)
-    th = _tile_rows(h)
+    th = _tile_rows(h, w, planes=5)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     s2 = jnp.stack([s2i, s2x]).reshape(1, 2).astype(jnp.float32)
@@ -175,7 +180,7 @@ def normal_eq(
     (i_s, xi_s, rho, kf_int, valid, jac12), h = _pad_rows(
         [i_s, xi_s, rho, kf_int, valid, jac12], h
     )
-    th = _tile_rows(h)
+    th = _tile_rows(h, w, planes=5 + 12)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     jspec = pl.BlockSpec((12, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
@@ -343,7 +348,7 @@ def fusion_pallas(
     (up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask), h = _pad_rows(
         [up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask], h0
     )
-    th = _tile_rows(h)
+    th = _tile_rows(h, w, planes=9)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     R, t = T_kc[:3, :3], T_kc[:3, 3]
@@ -514,9 +519,9 @@ def esm_residuals_and_normal_eq_pallas(
     (kf_int_p, rho_p, valid_p, Px_p, Py_p, Pz_p, kfg_p, smp_p), hp = _pad_rows(
         [kf_int, rho, valid, Px, Py, Pz, kf_grads, samples], h
     )
-    th = _tile_rows(hp)
-    grid = hp // th
     n_smp = smp_p.shape[0]
+    th = _tile_rows(hp, w, planes=6 + 4 + n_smp)
+    grid = hp // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec4 = pl.BlockSpec((4, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     spec7 = pl.BlockSpec((n_smp, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
