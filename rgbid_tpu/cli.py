@@ -37,6 +37,12 @@ def main(argv=None):
     ap.add_argument("--motion", default="orbit", choices=["orbit", "loop", "static"])
     ap.add_argument("--config", metavar="JSON", help="config file (JSON)")
     ap.add_argument(
+        "--calib",
+        metavar="FILE",
+        help="camera calibration file (fx fy cx cy [w h] [k1 k2 p1 p2 k3]); "
+        "a calibration.txt inside the TUM directory is picked up automatically",
+    )
+    ap.add_argument(
         "--intrinsics",
         metavar="fx,fy,cx,cy[,w,h]",
         help="override camera intrinsics (defaults: TUM per-sequence / synthetic)",
@@ -78,7 +84,7 @@ def main(argv=None):
             vals += [640, 480]
         custom_intr = Intrinsics(vals[0], vals[1], vals[2], vals[3], int(vals[4]), int(vals[5]))
     if args.tum:
-        seq = TumSequence(args.tum, intrinsics=custom_intr)
+        seq = TumSequence(args.tum, intrinsics=custom_intr, calib_file=args.calib)
         intr = seq.intrinsics
         frames = seq.frames()
         n_total = len(seq)
@@ -108,28 +114,53 @@ def main(argv=None):
     else:
         logger = JsonlLogger(None)
 
+    # Ingestion pipeline: a background thread decodes/undistorts frames
+    # (prefetch_frames) while the main thread feeds the device in flights
+    # of config.pipeline_depth chained programs per host sync (feed()).
+    import itertools
+
+    from .datasets import prefetch_frames
+
+    if args.max_frames is not None:
+        frames = itertools.islice(frames, args.max_frames)
+
     timer = StageTimer()
     t_start = time.perf_counter()
     n = 0
-    for f in frames:
-        if args.max_frames is not None and n >= args.max_frames:
-            break
-        with timer.stage("frame"):
-            T = slam.process_frame(f.rgb, f.depth, f.timestamp)
-        rec = dict(slam.stats[-1])
-        rec["type"] = "frame"
-        rec["T_wc"] = T.tolist()
-        logger.write(rec)
-        if not args.quiet and n % 10 == 0:
-            r = slam.stats[-1]
-            print(
-                f"frame {n:5d} kf={r['kf_id']:3d} overlap={r.get('overlap', 1):.2f} "
-                f"lost={int(r.get('lost', False))}",
-                file=sys.stderr,
-            )
-        n += 1
+    logged = 0
+
+    def _log_new():
+        nonlocal logged, n
+        traj = slam.trajectory()
+        for i in range(logged, len(slam.stats)):
+            rec = dict(slam.stats[i])
+            rec["type"] = "frame"
+            rec["T_wc"] = traj[i][1].tolist()
+            logger.write(rec)
+            if not args.quiet and n % 10 == 0:
+                print(
+                    f"frame {n:5d} kf={rec['kf_id']:3d} "
+                    f"overlap={rec.get('overlap', 1):.2f} "
+                    f"lost={int(rec.get('lost', False))}",
+                    file=sys.stderr,
+                )
+            n += 1
+        logged = len(slam.stats)
+
+    chunk = []
+    with timer.stage("frames"):
+        for f in prefetch_frames(frames, depth=cfg.pipeline_depth + 2):
+            chunk.append(f)
+            if len(chunk) >= cfg.pipeline_depth:
+                slam.feed(chunk)
+                _log_new()
+                chunk = []
+        if chunk:
+            slam.feed(chunk)
+            _log_new()
     with timer.stage("finish"):
         slam.finish()
+        _log_new()
     wall = time.perf_counter() - t_start
 
     result = {

@@ -26,5 +26,40 @@ class Frame:
     depth: np.ndarray
 
 
+def prefetch_frames(frames, depth: int = 4):
+    """Iterate ``frames`` through a background decoder thread.
+
+    Dataset frame production is host-heavy (PNG decode + undistortion
+    remap, ~5-15 ms/frame at VGA); running it in a worker overlaps it
+    with SLAM compute on the caller's thread. ``depth`` bounds the queue
+    so a slow consumer cannot make the reader buffer a whole sequence.
+    Exceptions in the reader are re-raised at the consumption point.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def _reader():
+        try:
+            for f in frames:
+                q.put(f)
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            q.put(e)
+            return
+        finally:
+            q.put(_END)
+
+    _threading.Thread(target=_reader, daemon=True, name="frame-prefetch").start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 from .synthetic import SyntheticSequence, generate_sequence, make_scene, render_frame  # noqa: E402,F401
-from .tum import TumSequence  # noqa: E402,F401
+from .tum import TumSequence, load_calibration  # noqa: E402,F401

@@ -57,14 +57,30 @@ def associate(
     max_difference: float = 0.02,
     offset: float = 0.0,
 ) -> List[Tuple[int, int]]:
-    """Greedy timestamp association (TUM associate.py semantics):
-    sort all candidate pairs by |ta - (tb + offset)|, take greedily while
-    both sides unused.  Returns index pairs into a and b.
+    """Greedy timestamp association (exact TUM associate.py semantics):
+    among all pairs with |ta - (tb + offset)| < max_difference, take
+    greedily by ascending difference while both sides unused. Returns
+    index pairs into a and b.
+
+    O((N+M) log M + C) where C is the (tiny) candidate count: candidate
+    pairs are found via a sorted-window search instead of the toolkit's
+    all-pairs scan — at real sequence lengths (~3k frames) that is ~9M
+    pair checks avoided per index file. The candidate SET (and therefore
+    the greedy result) is identical to the O(N*M) construction.
     """
+    if not a or not b:
+        return []
+    ta = np.asarray([t for t, _ in a], np.float64)
+    tb = np.asarray([t for t, _ in b], np.float64) + offset
+    order_b = np.argsort(tb, kind="stable")
+    tbs = tb[order_b]
+    lo = np.searchsorted(tbs, ta - max_difference, side="left")
+    hi = np.searchsorted(tbs, ta + max_difference, side="right")
     candidates = []
-    for i, (ta, _) in enumerate(a):
-        for j, (tb, _) in enumerate(b):
-            d = abs(ta - (tb + offset))
+    for i in range(len(ta)):
+        for k in range(lo[i], hi[i]):
+            j = int(order_b[k])
+            d = abs(ta[i] - tb[j])
             if d < max_difference:
                 candidates.append((d, i, j))
     candidates.sort()
@@ -76,6 +92,53 @@ def associate(
             matches.append((i, j))
     matches.sort()
     return matches
+
+
+def load_calibration(path: str) -> Tuple[Intrinsics, np.ndarray]:
+    """Parse a calibration file -> (Intrinsics, distortion[5]).
+
+    Accepts the reference-style whitespace format (comments with '#'):
+    either bare numbers — ``fx fy cx cy [width height] [k1 k2 p1 p2 k3]``
+    across any number of lines — or ``key: value`` / ``key = value``
+    lines with keys fx, fy, cx, cy, width, height, k1, k2, p1, p2, k3.
+    """
+    keyed = {}
+    numbers: List[float] = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if ":" in line or "=" in line:
+                key, val = line.replace("=", ":").split(":", 1)
+                keyed[key.strip().lower()] = float(val)
+            else:
+                numbers.extend(float(x) for x in line.split())
+    dist = np.zeros(5)
+    if keyed:
+        intr = Intrinsics(
+            fx=keyed["fx"],
+            fy=keyed["fy"],
+            cx=keyed["cx"],
+            cy=keyed["cy"],
+            width=int(keyed.get("width", 640)),
+            height=int(keyed.get("height", 480)),
+        )
+        for n, k in enumerate(("k1", "k2", "p1", "p2", "k3")):
+            dist[n] = keyed.get(k, 0.0)
+        return intr, dist
+    if len(numbers) not in (4, 6, 9, 11):
+        raise ValueError(
+            f"{path}: expected 4 (fx fy cx cy), 6 (+w h), 9 (+5 distortion) "
+            f"or 11 values, got {len(numbers)}"
+        )
+    fx, fy, cx, cy = numbers[:4]
+    w, h = (int(numbers[4]), int(numbers[5])) if len(numbers) in (6, 11) else (640, 480)
+    if len(numbers) == 9:
+        dist = np.asarray(numbers[4:9])
+    elif len(numbers) == 11:
+        dist = np.asarray(numbers[6:11])
+    return Intrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h), dist
 
 
 def guess_intrinsics(seq_dir: str) -> Intrinsics:
@@ -100,8 +163,19 @@ class TumSequence:
         depth_scale: float = 5000.0,
         distortion: Optional[np.ndarray] = None,
         undistort: bool = True,
+        calib_file: Optional[str] = None,
     ):
         self.dir = seq_dir
+        # Calibration precedence: explicit file > in-directory
+        # calibration.txt > explicit args > per-sequence factory guess.
+        if calib_file is None:
+            default_calib = os.path.join(seq_dir, "calibration.txt")
+            if os.path.exists(default_calib):
+                calib_file = default_calib
+        if calib_file is not None:
+            c_intr, c_dist = load_calibration(calib_file)
+            intrinsics = intrinsics or c_intr
+            distortion = distortion if distortion is not None else c_dist
         self.intrinsics = intrinsics or guess_intrinsics(seq_dir)
         self.depth_scale = depth_scale
         self.distortion = (

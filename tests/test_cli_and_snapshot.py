@@ -99,7 +99,7 @@ def test_snapshot_restores_backend_state(tmp_path):
         }
     )
     seq = synthetic.generate_sequence(
-        n_frames=22, intr=INTR, motion="loop", trans_amp=0.35, rot_amp=0.1, seed=7
+        n_frames=22, intr=INTR, motion="loop", radius=0.45, rot_amp=0.1, seed=7
     )
     slam = SlamSystem(INTR, cfg)
     for i in range(22):
