@@ -53,7 +53,7 @@ def _align_level(t_int, t_xi, t_mask, c_int, c_xi, c_mask, carry_in, intr_l, nu,
         T, s2i, s2x, _H, _e, _i, _n = carry
         res = gauss_newton.esm_residuals_and_normal_eq(
             T, t_int, t_points, t_mask, t_grads, c_stack7,
-            intr_l, nu, s2i, s2x,
+            intr_l, nu, s2i, s2x, occlusion_gate=True,
         )
         T_new, _ = gauss_newton.ic_update(T, res.H, res.b, 1e-6, res.n_valid)
         return (

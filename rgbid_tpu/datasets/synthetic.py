@@ -215,6 +215,36 @@ def loopy_trajectory(n: int, radius=0.35, rot_amp=0.10) -> List[np.ndarray]:
     return poses
 
 
+def handheld_trajectory(
+    n: int,
+    trans_amp: float = 0.25,
+    rot_amp: float = 0.08,
+    jitter_trans: float = 0.004,
+    jitter_rot: float = 0.003,
+    seed: int = 0,
+) -> List[np.ndarray]:
+    """Handheld-like motion: the smooth orbit path plus band-limited
+    per-frame pose jitter (smoothed random walk — the tremor + step
+    content of handheld footage that breaks constant-velocity priors)."""
+    rng = np.random.default_rng(seed)
+    base = orbit_trajectory(n, trans_amp, rot_amp)
+    # Smoothed random-walk jitter (EMA of white noise, zero-mean).
+    jit = np.zeros((n, 6))
+    state = np.zeros(6)
+    scale = np.array([jitter_trans] * 3 + [jitter_rot] * 3)
+    for i in range(n):
+        state = 0.7 * state + rng.normal(size=6) * scale
+        jit[i] = state
+    jit -= jit.mean(axis=0)
+    poses = []
+    for i, T in enumerate(base):
+        J = np.eye(4)
+        J[:3, :3] = _euler(*jit[i, 3:])
+        J[:3, 3] = jit[i, :3]
+        poses.append(T @ J)
+    return poses
+
+
 def _euler(rx, ry, rz):
     cx_, sx = np.cos(rx), np.sin(rx)
     cy_, sy = np.cos(ry), np.sin(ry)
@@ -258,8 +288,24 @@ def generate_sequence(
     xi_noise_sigma: float = 0.0,
     fps: float = 30.0,
     scene: Scene | None = None,
+    exposure_drift: float = 0.0,
+    depth_hole_frac: float = 0.0,
+    moving_occluder: bool = False,
+    occluder_z: float = 1.4,
     **motion_kwargs,
 ) -> SyntheticSequence:
+    """Render a sequence; the optional degradations make up the hard-mode
+    accuracy gauntlet (round-2 VERDICT item 5):
+
+    * ``exposure_drift``: slow multiplicative gain + additive bias drift
+      (auto-exposure-like; amplitude g means gain wanders in [1-g, 1+g]) —
+      violates brightness constancy between frame and keyframe.
+    * ``depth_hole_frac``: approximate fraction of valid pixels dropped
+      per frame in contiguous blobs (structured-light dropouts).
+    * ``moving_occluder``: a textured panel sweeping through the view
+      over the sequence (dynamic content the occlusion gates must reject).
+    * ``motion="handheld"``: jittered trajectory (handheld_trajectory).
+    """
     from ..core.camera import DEFAULT
 
     intr = intr or DEFAULT
@@ -269,6 +315,8 @@ def generate_sequence(
             poses = orbit_trajectory(n_frames, **motion_kwargs)
         elif motion == "loop":
             poses = loopy_trajectory(n_frames, **motion_kwargs)
+        elif motion == "handheld":
+            poses = handheld_trajectory(n_frames, seed=seed, **motion_kwargs)
         elif motion == "static":
             poses = [np.eye(4) for _ in range(n_frames)]
         else:
@@ -277,8 +325,47 @@ def generate_sequence(
         poses = list(motion)
     rng = np.random.default_rng(seed + 1)
     seq = SyntheticSequence(intr, [], [], [], [], 5000.0)
+
+    occluder = None
+    occ_vel = None
+    if moving_occluder:
+        occ_rng = np.random.default_rng(seed + 7)
+        occluder = TexturedRect(
+            p0=np.array([-1.6, -0.5, occluder_z]),
+            eu=np.array([0.55, 0.05, 0.1]),
+            ev=np.array([0.0, 0.65, 0.05]),
+            texture=_smooth_texture(occ_rng),
+            tint=np.array([0.85, 1.0, 1.0], np.float32),
+        )
+        # Sweeps left-to-right through the frustum over the sequence.
+        occ_vel = np.array([2.6 / max(n_frames - 1, 1), 0.0, 0.0])
+
     for i, T in enumerate(poses):
-        rgb, d16, _, _ = render_frame(scene, intr, T, 5000.0, xi_noise_sigma, rng)
+        if occluder is not None:
+            frame_scene = Scene(rects=list(scene.rects))
+            occ_i = TexturedRect(
+                p0=occluder.p0 + occ_vel * i,
+                eu=occluder.eu,
+                ev=occluder.ev,
+                texture=occluder.texture,
+                tint=occluder.tint,
+            )
+            frame_scene.rects.append(occ_i)
+        else:
+            frame_scene = scene
+        rgb, d16, _, _ = render_frame(frame_scene, intr, T, 5000.0, xi_noise_sigma, rng)
+        if exposure_drift > 0:
+            s = 2 * np.pi * i / max(n_frames - 1, 1)
+            gain = 1.0 + exposure_drift * np.sin(1.7 * s + 0.4)
+            bias = 12.0 * exposure_drift * np.sin(0.9 * s + 2.1)
+            rgb = np.clip(rgb.astype(np.float32) * gain + bias, 0, 255).astype(np.uint8)
+        if depth_hole_frac > 0:
+            # Contiguous dropout blobs: threshold smoothed noise at the
+            # requested quantile (holes move frame to frame).
+            blob = rng.standard_normal((intr.height // 8, intr.width // 8)).astype(np.float32)
+            blob = cv2.resize(blob, (intr.width, intr.height), interpolation=cv2.INTER_CUBIC)
+            thresh = np.quantile(blob, 1.0 - depth_hole_frac)
+            d16 = np.where(blob > thresh, 0, d16).astype(np.uint16)
         seq.timestamps.append(i / fps)
         seq.rgb.append(rgb)
         seq.depth.append(d16)

@@ -1,0 +1,167 @@
+"""Hard-mode accuracy gauntlet (round-2 VERDICT item 5).
+
+Runs the full SLAM system over a battery of degraded synthetic scenarios —
+handheld jitter, exposure drift, large inter-frame motion, depth holes, a
+moving occluder, and a long combined endurance run — and reports ATE/RPE
+per scenario. The easy bench orbit proves convergence only; this battery
+is the robustness evidence (results recorded in BASELINE.md).
+
+    python -m rgbid_tpu.eval.gauntlet [--frames N] [--res WxH] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def scenarios(n_frames: int):
+    """(name, sequence kwargs, config overrides) triples."""
+    hard_noise = {"xi_noise_sigma": 0.005}
+    return [
+        (
+            "easy_orbit",
+            dict(motion="orbit", trans_amp=0.15, rot_amp=0.04, xi_noise_sigma=0.003),
+            {},
+        ),
+        (
+            "handheld_jitter",
+            dict(motion="handheld", trans_amp=0.3, rot_amp=0.1,
+                 jitter_trans=0.006, jitter_rot=0.004, **hard_noise),
+            {},
+        ),
+        (
+            "large_motion",
+            dict(motion="orbit", trans_amp=0.55, rot_amp=0.16, periods=2.0, **hard_noise),
+            {},
+        ),
+        (
+            "exposure_drift",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 exposure_drift=0.18, **hard_noise),
+            {},
+        ),
+        (
+            "depth_holes",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 depth_hole_frac=0.25, **hard_noise),
+            {},
+        ),
+        (
+            # Mid-field mover (~15% of pixels, ~2x information ratio):
+            # robust weighting + the occlusion gate must hold tracking.
+            "moving_occluder_mid",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=2.6, **hard_noise),
+            {},
+        ),
+        (
+            # Near-field dominant mover (z 1.4 m vs 1.8-4 m background,
+            # ~22% of pixels with 1/z^2-amplified Jacobians = ~2/3 of the
+            # Fisher information): the documented failure mode of
+            # non-segmenting dense VO — this system class (the reference
+            # included) follows the mover; kept in the gauntlet as the
+            # honest breaking point (cf. TUM fr3/walking_* results for
+            # DVO-class systems).
+            "moving_occluder_near",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=1.4, **hard_noise),
+            {},
+        ),
+        (
+            # Everything at once (mid-field mover — the near-field one has
+            # its own dedicated row as the documented breaking point).
+            "combined_endurance",
+            dict(motion="handheld", trans_amp=0.35, rot_amp=0.1,
+                 jitter_trans=0.005, jitter_rot=0.003, exposure_drift=0.12,
+                 depth_hole_frac=0.15, moving_occluder=True, occluder_z=2.6,
+                 **hard_noise),
+            {"_frames": 2 * n_frames},
+        ),
+    ]
+
+
+def run_scenario(name, seq_kwargs, cfg_over, n_frames, intr, base_over):
+    from ..core.config import SlamConfig
+    from ..datasets import synthetic
+    from ..eval import absolute_trajectory_error, relative_pose_error
+    from ..system import SlamSystem
+
+    cfg_over = dict(cfg_over)
+    n = cfg_over.pop("_frames", n_frames)
+    cfg = SlamConfig().override(**{**base_over, **cfg_over})
+    seq = synthetic.generate_sequence(n_frames=n, intr=intr, seed=3, **seq_kwargs)
+    slam = SlamSystem(intr, cfg)
+    t0 = time.perf_counter()
+    slam.feed(list(seq.frames()))
+    slam.finish()
+    wall = time.perf_counter() - t0
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    gt = [gt0 @ T for T in seq.gt_poses]
+    est = slam.poses()
+    ate = absolute_trajectory_error(gt, est)
+    rpe = relative_pose_error(gt, est)
+    return {
+        "scenario": name,
+        "frames": n,
+        "ate_rmse_mm": round(ate["rmse"] * 1e3, 3),
+        "rpe_trans_mm": round(rpe["trans_rmse"] * 1e3, 3),
+        "rpe_rot_mrad": round(rpe["rot_rmse"] * 1e3, 3),
+        "keyframes": len(slam.manager.keyframes),
+        "loop_closures": slam.backend.num_loop_closures if slam.backend else 0,
+        "lost": int(sum(bool(s.get("lost")) for s in slam.stats)),
+        "relocalized": int(sum(bool(s.get("relocalized")) for s in slam.stats)),
+        "ms_per_frame": round(wall / n * 1e3, 1),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--res", default="320x240")
+    ap.add_argument("--json", action="store_true", help="one JSON line per scenario")
+    ap.add_argument("--only", default=None, help="comma-separated scenario filter")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    args = ap.parse_args(argv)
+
+    from ..core.camera import Intrinsics
+
+    w, h = (int(x) for x in args.res.split("x"))
+    intr = Intrinsics(
+        fx=0.808 * w, fy=1.076 * h, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h
+    )
+    base_over = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        base_over[k] = tuple(v) if isinstance(v, list) else v
+
+    only = set(args.only.split(",")) if args.only else None
+    rows = []
+    for name, seq_kwargs, cfg_over in scenarios(args.frames):
+        if only and name not in only:
+            continue
+        r = run_scenario(name, seq_kwargs, cfg_over, args.frames, intr, base_over)
+        rows.append(r)
+        if args.json:
+            print(json.dumps(r))
+        else:
+            print(
+                f"{r['scenario']:20s} ATE {r['ate_rmse_mm']:8.2f} mm  "
+                f"RPE {r['rpe_trans_mm']:6.2f} mm / {r['rpe_rot_mrad']:5.2f} mrad  "
+                f"kf {r['keyframes']:3d}  loops {r['loop_closures']:3d}  "
+                f"lost {r['lost']:3d}  {r['ms_per_frame']:6.1f} ms/f",
+                flush=True,
+            )
+    return rows
+
+
+if __name__ == "__main__":
+    main()

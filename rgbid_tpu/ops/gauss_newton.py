@@ -104,6 +104,30 @@ class IrlsResult(NamedTuple):
     inlier_frac: jax.Array
 
 
+def allreduce_irls(res: IrlsResult, axis_name: str) -> IrlsResult:
+    """Combine per-shard IRLS results into the global one (inside
+    shard_map). Every field except n_valid is a per-pixel mean normalized
+    by the SHARD's n_valid; multiplying by n recovers the raw sums, which
+    psum correctly across row shards — the whole exchange is ~42 floats
+    per iteration (21 H + 6 b + 5 scalars, padded), riding ICI.
+    """
+    n = res.n_valid
+    N = jnp.maximum(jax.lax.psum(n, axis_name), 1.0)
+
+    def mean(x):
+        return jax.lax.psum(x * n, axis_name) / N
+
+    return IrlsResult(
+        H=mean(res.H),
+        b=mean(res.b),
+        sigma2_int=jnp.maximum(mean(res.sigma2_int), 1e-12),
+        sigma2_xi=jnp.maximum(mean(res.sigma2_xi), 1e-12),
+        error=mean(res.error),
+        n_valid=jax.lax.psum(n, axis_name),
+        inlier_frac=mean(res.inlier_frac),
+    )
+
+
 def residuals_and_normal_eq(
     T: jax.Array,
     kf_int: jax.Array,
@@ -188,6 +212,7 @@ def esm_residuals_and_normal_eq(
     sigma2_xi,
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
+    occlusion_gate: bool = False,
 ) -> IrlsResult:
     """ESM variant (XLA twin of the Pallas ESM kernel).
 
@@ -214,9 +239,27 @@ def esm_residuals_and_normal_eq(
     valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
+    # Occluded/dynamic pixels (inverse-depth residual beyond the gate) are
+    # removed from BOTH channels' WEIGHTS — see TrackingConfig.occlusion_gate.
+    # Crucially, the gate applies ONLY to the normal equations: sigma
+    # statistics, n_valid, and inlier diagnostics use the ungated set
+    # (gating the sigma update truncates the residual distribution, the
+    # scale then shrinks every iteration and the gate spirals until ~a
+    # third of a perfectly static scene is excluded — measured).
+    # The gate is WIDE — (2*gate_sigmas)^2 * sigma^2 PLUS an absolute
+    # inverse-depth floor (0.05 1/m)^2: occluders/dynamics disagree with
+    # the template by 0.1-0.5 1/m while inlier noise is ~0.01, so the
+    # floor keeps the gate from ever truncating legitimate residual tails
+    # when sigma_xi collapses to the sensor level (measured: a
+    # 3-sigma-only gate biased geometry-only scenes by ~1.5 cm).
+    if occlusion_gate and use_geometric:
+        thresh = (2.0 * gate_sigmas) ** 2 * sigma2_xi + 0.05**2
+        w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
+    else:
+        w_gate = 1.0
 
-    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
-    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
+    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid * w_gate / sigma2_int
+    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid * w_gate / sigma2_xi
 
     # Warp Jacobian at the template points (identity perturbation).
     iz = 1.0 / jnp.maximum(Pz, 1e-6)

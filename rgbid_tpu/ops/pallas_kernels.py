@@ -403,6 +403,7 @@ def fusion_pallas(
 def _esm_kernel(
     par_ref, kf_int_ref, rho_ref, valid_ref, px_ref, py_ref, pz_ref,
     kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric, avg_grads=True,
+    occlusion_gate=False,
 ):
     """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, 0] where
     r3* is the third rotation row of the current pose estimate (for the
@@ -424,8 +425,14 @@ def _esm_kernel(
     xi_s = smp_ref[1]
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
-    w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid / s2i
-    w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid / s2x
+    # Gate occluded pixels out of the WEIGHTS only (sigma stats, n_valid
+    # and inlier diagnostics stay ungated — see the XLA twin for why).
+    if occlusion_gate and use_geometric:
+        w_gate = (r_x * r_x <= 4.0 * gate2 * s2x + 0.05**2).astype(jnp.float32)
+    else:
+        w_gate = 1.0
+    w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid * w_gate / s2i
+    w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid * w_gate / s2x
 
     Px = px_ref[:]
     Py = py_ref[:]
@@ -500,6 +507,7 @@ def esm_residuals_and_normal_eq_pallas(
     sigma2_xi,
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
+    occlusion_gate: bool = False,
 ) -> IrlsResult:
     """Pallas twin of gauss_newton.esm_residuals_and_normal_eq.
 
@@ -534,6 +542,7 @@ def esm_residuals_and_normal_eq_pallas(
         functools.partial(
             _esm_kernel, nu=nu, gate2=gate_sigmas**2,
             use_geometric=use_geometric, avg_grads=avg_grads,
+            occlusion_gate=occlusion_gate,
         ),
         grid=(grid,),
         in_specs=[

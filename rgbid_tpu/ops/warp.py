@@ -22,10 +22,16 @@ def pixel_grid(h: int, w: int):
     return u, v
 
 
-def backproject_grid(xi: jax.Array, intr: Intrinsics):
-    """Per-pixel camera points (X, Y, Z) from an inverse-depth plane."""
+def backproject_grid(xi: jax.Array, intr: Intrinsics, row_offset=0):
+    """Per-pixel camera points (X, Y, Z) from an inverse-depth plane.
+
+    ``row_offset`` shifts the pixel grid's v coordinate — used by the
+    row-sharded SPMD tracker, where each device holds a horizontal band
+    of the keyframe and must backproject with GLOBAL row indices.
+    """
     h, w = xi.shape
     u, v = pixel_grid(h, w)
+    v = v + row_offset
     z = 1.0 / jnp.maximum(xi, 1e-8)
     x = (u - intr.cx) * (1.0 / intr.fx) * z
     y = (v - intr.cy) * (1.0 / intr.fy) * z

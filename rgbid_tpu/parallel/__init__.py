@@ -18,3 +18,4 @@ no experts) — documented rather than faked.
 from .mesh import make_mesh  # noqa: F401
 from .reloc import shard_reloc_batch  # noqa: F401
 from .spmd import SpmdTracker  # noqa: F401
+from .tracker_spmd import ShardedTracker  # noqa: F401

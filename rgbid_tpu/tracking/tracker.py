@@ -50,6 +50,76 @@ def _select_irls(cfg: TrackingConfig):
     return gauss_newton.residuals_and_normal_eq
 
 
+def _apply_affine_illumination(
+    kf: Tuple[KeyframeLevel, ...],
+    cur: Tuple[FrameLevel, ...],
+    T_init: jax.Array,
+    intrs: Tuple[Intrinsics, ...],
+    cfg: TrackingConfig,
+    axis_name: str | None,
+) -> Tuple[KeyframeLevel, ...]:
+    """Estimate a global gain/bias (I_cur ~= a * I_kf + b) and bake it
+    into the tracking template: intensity' = a*I + b, intensity-gradient
+    planes scaled by a.
+
+    The estimate is MOMENT MATCHING — a = std(I_cur)/std(I_kf),
+    b = mean(I_cur) - a * mean(I_kf), over each image's own pixels — and
+    deliberately needs NO warp: a warp-based least squares at the
+    pre-tracking pose is biased by whatever misalignment remains
+    (measured: it injected 7-16 mrad/mm of pose error on CLEAN large-
+    motion pairs), while global moments are alignment-free and exposure
+    is a global property. Viewpoint-change residue in the moments is
+    small, clipped, and absorbed by the robust weights. Purely
+    tracker-local — the stored keyframe state is never mutated.
+    """
+    kl, cl = kf[0], cur[0]
+    n = jnp.asarray(kl.intensity.size, jnp.float32)
+    sums = jnp.stack(
+        [
+            jnp.sum(kl.intensity),
+            jnp.sum(kl.intensity * kl.intensity),
+            jnp.sum(cl.intensity),
+            jnp.sum(cl.intensity * cl.intensity),
+        ]
+    )
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        # Keyframe planes are row-sharded (partial sums -> psum); the
+        # current frame is replicated, so its local sums are already the
+        # full-image sums.
+        sums = sums.at[0:2].set(jax.lax.psum(sums[0:2], axis_name))
+    mean_k = sums[0] / n
+    var_k = jnp.maximum(sums[1] / n - mean_k * mean_k, 1e-8)
+    mean_c = sums[2] / n
+    var_c = jnp.maximum(sums[3] / n - mean_c * mean_c, 1e-8)
+    # A (near-)textureless image has no gain information — the variance
+    # ratio is noise/noise; fall back to identity gain there (std < 0.02).
+    textured = jnp.minimum(var_k, var_c) > 4e-4
+    a = jnp.where(
+        textured, jnp.clip(jnp.sqrt(var_c / var_k), 0.7, 1.5), 1.0
+    )
+    b = jnp.clip(mean_c - a * mean_k, -0.3, 0.3)
+    # Dead zone: moment estimates carry a little viewpoint-change noise;
+    # below ~2% gain / 1% bias the correction costs more than it fixes
+    # (Student-t absorbs that much), so snap to identity there. Real
+    # exposure drift walks through the zone and gets corrected.
+    a = jnp.where(jnp.abs(a - 1.0) < 0.02, 1.0, a)
+    b = jnp.where(jnp.abs(b) < 0.01, 0.0, b)
+
+    out = []
+    for kl in kf:
+        gi = (kl.jac[:2].astype(jnp.float32) * a).astype(kl.jac.dtype)
+        out.append(
+            KeyframeLevel(
+                intensity=a * kl.intensity + b,
+                xi=kl.xi,
+                mask=kl.mask,
+                jac=jnp.concatenate([gi, kl.jac[2:]], axis=0),
+            )
+        )
+    return tuple(out)
+
+
 class TrackResult(NamedTuple):
     """Per-frame tracking output (small: safe to read back every frame)."""
 
@@ -69,7 +139,18 @@ def _track_impl(
     T_init: jax.Array,
     intrs: Tuple[Intrinsics, ...],
     cfg: TrackingConfig,
+    axis_name: str | None = None,
 ) -> TrackResult:
+    """The production coarse-to-fine tracker.
+
+    ``axis_name`` enables SPMD execution inside a shard_map: keyframe
+    planes (and their template points) are row-sharded across the mesh
+    axis, the CURRENT frame's stacks are replicated (warp targets land
+    anywhere), each device reduces its band's normal-equation statistics,
+    and one ~42-float psum per IRLS iteration makes every device solve the
+    identical 6x6 system — the solve and pose update are replicated. See
+    parallel/tracker_spmd.py for the shard_map wrapper.
+    """
     levels = cfg.levels
     irls = _select_irls(cfg)
     T = T_init
@@ -80,12 +161,23 @@ def _track_impl(
 
     from ..ops.warp import backproject_grid
 
+    esm_mode = getattr(cfg, "jacobian", "ic") == "esm"
+    if getattr(cfg, "affine_illumination", False) and esm_mode:
+        kf = _apply_affine_illumination(
+            kf, cur, T_init, intrs, cfg, axis_name
+        )
+
     for level in range(levels - 1, -1, -1):
         kl, cl = kf[level], cur[level]
         intr_l = intrs[level]
         n_iters = cfg.iters[level] if level < len(cfg.iters) else cfg.iters[-1]
         # Loop-invariant backprojection: hoisted out of the IRLS loop.
-        kf_points = backproject_grid(kl.xi, intr_l)
+        # Under SPMD each device holds a horizontal band of the keyframe;
+        # backproject with GLOBAL row indices.
+        row_offset = 0
+        if axis_name is not None:
+            row_offset = jax.lax.axis_index(axis_name) * kl.xi.shape[0]
+        kf_points = backproject_grid(kl.xi, intr_l, row_offset)
 
         esm = getattr(cfg, "jacobian", "ic") == "esm"
 
@@ -96,7 +188,10 @@ def _track_impl(
                     T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
                     intr_l, cfg.student_t_nu, s2i, s2x,
                     cfg.use_geometric, cfg.gate_sigmas,
+                    getattr(cfg, "occlusion_gate", False),
                 )
+                if axis_name is not None:
+                    res = gauss_newton.allreduce_irls(res, axis_name)
             else:
                 res = irls(
                     T,
@@ -116,6 +211,8 @@ def _track_impl(
                     cfg.gate_sigmas,
                     getattr(cfg, "sigma_mode", "exact"),
                 )
+                if axis_name is not None:
+                    res = gauss_newton.allreduce_irls(res, axis_name)
             T_new, _ = gauss_newton.ic_update(T, res.H, res.b, cfg.damping, res.n_valid)
             return (
                 T_new,
@@ -143,7 +240,26 @@ def _track_impl(
         inliers.append(inl)
         nvalids.append(nv)
 
-    kf_count = jnp.maximum(jnp.sum(kf[0].mask), 1.0)
+    kf_count = jnp.sum(kf[0].mask)
+    cur_count = jnp.sum(cur[0].mask)
+    n_px = jnp.asarray(
+        kf[0].mask.shape[0] * kf[0].mask.shape[1], jnp.float32
+    )
+    if axis_name is not None:
+        kf_count = jax.lax.psum(kf_count, axis_name)
+        cur_count = jax.lax.psum(cur_count, axis_name)
+        n_px = jax.lax.psum(n_px, axis_name)
+    kf_count = jnp.maximum(kf_count, 1.0)
+    # GEOMETRIC overlap estimate, normalized for sensor dropout on both
+    # sides: with independent validity fractions f_kf and f_cur, the
+    # expected co-valid count is f_kf * f_cur * geometric_overlap * N, so
+    # dividing by kf_count * cur_count / N removes the dropout factors.
+    # Without holes this reduces to the round-1 n_valid / kf_count; with
+    # 25% dropout per side the old measure read ~0.56 for a fully
+    # co-visible frame and thrashed keyframe creation (a new keyframe
+    # EVERY frame on the depth-holes gauntlet).
+    cur_frac = jnp.clip(cur_count / n_px, 0.05, 1.0)
+    overlap = jnp.clip(nvalids[-1] / (kf_count * cur_frac), 0.0, 1.0)
     # errors/... were appended coarse->fine; store fine->coarse (level order).
     return TrackResult(
         T=T,
@@ -151,7 +267,7 @@ def _track_impl(
         errors=jnp.stack(errors[::-1]),
         inlier_frac=jnp.stack(inliers[::-1]),
         n_valid=jnp.stack(nvalids[::-1]),
-        overlap=nvalids[-1] / kf_count,
+        overlap=overlap,
         sigma2_int=s2i,
         sigma2_xi=s2x,
     )

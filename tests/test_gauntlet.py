@@ -1,0 +1,85 @@
+"""Hard-mode robustness scenarios in the default suite (reduced size).
+
+The full battery (more scenarios, 150+ frames, measured numbers) is
+`python -m rgbid_tpu.eval.gauntlet`; results live in BASELINE.md. These
+cover the three degradations that round 1 never exercised and that each
+required a real mechanism to survive:
+
+* exposure drift  -> affine illumination compensation (tracker.py)
+* depth holes     -> dropout-normalized overlap (no keyframe thrash)
+* moving occluder -> geometric occlusion gate on both residual channels
+"""
+
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import SlamConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.eval import absolute_trajectory_error
+from rgbid_tpu.system import SlamSystem
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+
+
+def _run(seq_kwargs, n_frames=36, **cfg_over):
+    cfg = SlamConfig().override(**{"backend.enabled": False, **cfg_over})
+    seq = synthetic.generate_sequence(
+        n_frames=n_frames, intr=INTR, seed=3, xi_noise_sigma=0.005, **seq_kwargs
+    )
+    slam = SlamSystem(INTR, cfg)
+    slam.feed(list(seq.frames()))
+    slam.finish()
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    ate = absolute_trajectory_error([gt0 @ T for T in seq.gt_poses], slam.poses())
+    return seq, slam, ate["rmse"]
+
+
+def test_exposure_drift_survived():
+    """18% gain + bias drift: without affine compensation this measured
+    ~19 mm ATE; with it the run stays in the low single digits."""
+    _, slam, ate = _run(dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                             exposure_drift=0.18))
+    assert ate < 0.006, ate
+    assert not any(s.get("lost") for s in slam.stats)
+
+
+def test_exposure_drift_needs_affine():
+    """Negative control: the same clip with compensation disabled must be
+    measurably worse — proves the mechanism (not the scenario) passes."""
+    _, _, ate_on = _run(dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                             exposure_drift=0.18))
+    _, _, ate_off = _run(dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                              exposure_drift=0.18),
+                         **{"tracking.affine_illumination": False})
+    assert ate_off > 2.0 * ate_on, (ate_off, ate_on)
+
+
+def test_depth_holes_no_keyframe_thrash():
+    """25% blob dropout per frame: the dropout-normalized overlap must not
+    found a keyframe every frame (round-1 behavior: 60 keyframes in 60
+    frames), and accuracy stays in the single digits."""
+    _, slam, ate = _run(dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                             depth_hole_frac=0.25))
+    assert ate < 0.008, ate
+    assert len(slam.manager.keyframes) <= 12
+    assert not any(s.get("lost") for s in slam.stats)
+
+
+def test_mid_field_moving_occluder():
+    """A textured panel sweeping at mid depth (~15% of pixels): robust
+    weighting + the occlusion gate must keep tracking on the static
+    scene. (The NEAR-field dominant-mover case is the documented breaking
+    point of non-segmenting dense VO — see eval/gauntlet.py and
+    BASELINE.md — and is intentionally not asserted here.)"""
+    _, slam, ate = _run(dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                             moving_occluder=True, occluder_z=2.6))
+    assert ate < 0.012, ate
+    assert not any(s.get("lost") for s in slam.stats)
+
+
+def test_handheld_jitter():
+    _, slam, ate = _run(dict(motion="handheld", trans_amp=0.3, rot_amp=0.1,
+                             jitter_trans=0.006, jitter_rot=0.004))
+    assert ate < 0.006, ate
+    assert not any(s.get("lost") for s in slam.stats)

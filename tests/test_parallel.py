@@ -117,3 +117,58 @@ def test_sharded_reloc_matches_unsharded(level1_pair):
     np.testing.assert_allclose(np.asarray(sharded.T), np.asarray(base.T)[:3], atol=1e-4)
     err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(sharded.T[0], np.float64))
     assert np.linalg.norm(err) < 1.2e-2
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the PRODUCTION tracker under shard_map (not the demo class)
+
+
+@pytest.fixture(scope="module")
+def esm_pair():
+    """Production keyframe/frame pytrees (ESM) at mesh-divisible shapes."""
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.camera import Intrinsics
+    from rgbid_tpu.datasets import synthetic
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.tracking.frames import preprocess_frame
+
+    h, w = 256, 128
+    intr = Intrinsics(fx=110.0, fy=110.0, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h)
+    seq = synthetic.generate_sequence(
+        n_frames=2, intr=intr, motion="orbit", trans_amp=0.12, rot_amp=0.04, seed=6
+    )
+    pyr0 = preprocess_frame(jnp.asarray(seq.rgb[0]), jnp.asarray(seq.depth[0]), 3, esm=True)
+    pyr1 = preprocess_frame(jnp.asarray(seq.rgb[1]), jnp.asarray(seq.depth[1]), 3, esm=True)
+    kf = create_device_keyframe(pyr0, intr, FusionConfig(), jacobian="esm")
+    gt_rel = np.linalg.inv(seq.gt_poses[1]) @ seq.gt_poses[0]  # T_{cur<-kf}
+    return intr, kf, pyr1, gt_rel
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_production_tracker_matches_single_device(esm_pair):
+    """shard_map'd _track_impl (the REAL ESM step, row-sharded keyframe,
+    psum'd statistics) must equal the single-device production tracker."""
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.config import TrackingConfig
+    from rgbid_tpu.parallel import ShardedTracker, make_mesh
+    from rgbid_tpu.tracking.tracker import Tracker
+
+    intr, kf, cur, gt_rel = esm_pair
+    cfg = TrackingConfig(levels=3, iters=(2, 4, 8), jacobian="esm", kernel="xla")
+    single = Tracker(intr, cfg)
+    mesh = make_mesh(8, "sp")
+    sharded = ShardedTracker(mesh, intr, cfg)
+
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    r1 = single.track(kf.levels, cur, T0)
+    r8 = sharded.track(kf.levels, cur, T0)
+    np.testing.assert_allclose(np.asarray(r8.T), np.asarray(r1.T), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r8.H), np.asarray(r1.H), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(r8.n_valid[0]), float(r1.n_valid[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(r8.overlap), float(r1.overlap), rtol=1e-5)
+    # And it actually tracked: pose close to ground truth.
+    err = np.linalg.norm(np.asarray(r8.T)[:3, 3] - gt_rel[:3, 3])
+    assert err < 5e-3, err
