@@ -246,8 +246,12 @@ def _track_impl(
         kf[0].mask.shape[0] * kf[0].mask.shape[1], jnp.float32
     )
     if axis_name is not None:
+        # Keyframe planes are row-sharded (partial counts -> psum); the
+        # CURRENT frame is replicated across the mesh, so its local count
+        # already covers the full image — psumming it would count each
+        # pixel n_devices times, clip cur_frac to 1, and make the sharded
+        # overlap diverge from the single-device value.
         kf_count = jax.lax.psum(kf_count, axis_name)
-        cur_count = jax.lax.psum(cur_count, axis_name)
         n_px = jax.lax.psum(n_px, axis_name)
     kf_count = jnp.maximum(kf_count, 1.0)
     # GEOMETRIC overlap estimate, normalized for sensor dropout on both
