@@ -34,7 +34,9 @@ def main():
 
     # 24 timed frames = 3 full flights of 8: long enough to average the
     # emulator's +-30% tenancy noise, aligned to the pipeline depth.
-    n_warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    # Warmup = bootstrap + one FULL flight of 8 so every compiled program
+    # (per-frame step, flight-stack readback) is cached before timing.
+    n_warmup = int(os.environ.get("BENCH_WARMUP", "9"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
 
     intr = DEFAULT  # 640 x 480

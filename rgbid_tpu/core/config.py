@@ -96,6 +96,14 @@ class TrackingConfig:
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
     # the stored J at r -> 0) is unchanged. Use "f32" to disable.
     jac_dtype: str = "bf16"
+    # Per-level early exit: stop a level's IRLS loop once the solved pose
+    # step's twist norm (meters + radians) falls below this; cfg.iters then
+    # acts as a BUDGET — hard frames spend it all, converged frames skip
+    # the rest. 1e-5 = 10 um / 10 urad, two orders below the tracker's
+    # mm-scale noise floor. Default 0 (static fori_loop): on the sandbox
+    # emulator a lax.while_loop costs ~5 ms per instance even at zero
+    # trips, cancelling the savings; on real TPU hardware set ~1e-5.
+    early_exit_tol: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -190,6 +198,29 @@ class BackendConfig:
 
 
 @dataclass(frozen=True)
+class VizConfig:
+    """Live visualization (the reference's 3-pane GUI, headless).
+
+    A third thread (utils/live_view.py) periodically composites the
+    current frame, active keyframe, and trajectory/map into
+    ``<out_dir>/live.png`` — atomically replaced so an external watcher
+    can poll it while the system runs. Snapshots are published lossily
+    from host-side data only; the tracking hot path never blocks on
+    rendering and never reads device planes for it.
+    """
+
+    enabled: bool = False
+    # Publish a snapshot every N processed frames.
+    every_n: int = 10
+    # Output directory for live.png (+ numbered history when history=True).
+    out_dir: str = "live_viz"
+    history: bool = False
+    # Re-render the (matplotlib) map pane every N snapshots; panes 1-2 are
+    # cheap OpenCV composites and refresh every snapshot.
+    map_every: int = 3
+
+
+@dataclass(frozen=True)
 class SlamConfig:
     """Top-level system configuration (mirrors the reference's Settings)."""
 
@@ -197,6 +228,7 @@ class SlamConfig:
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
     fusion: FusionConfig = field(default_factory=FusionConfig)
     backend: BackendConfig = field(default_factory=BackendConfig)
+    viz: VizConfig = field(default_factory=VizConfig)
     # Depth PNG scale: raw u16 / depth_scale = meters (TUM uses 5000).
     depth_scale: float = 5000.0
     # Maximum sensor range in meters; deeper measurements are invalid.
@@ -245,6 +277,7 @@ class SlamConfig:
             keyframe=KeyframeConfig(**raw.get("keyframe", {})),
             fusion=FusionConfig(**raw.get("fusion", {})),
             backend=BackendConfig(**raw.get("backend", {})),
+            viz=VizConfig(**raw.get("viz", {})),
             depth_scale=raw.get("depth_scale", 5000.0),
             max_depth=raw.get("max_depth", 10.0),
             min_depth=raw.get("min_depth", 0.3),

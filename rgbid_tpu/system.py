@@ -64,6 +64,19 @@ class SlamSystem:
 
             self.backend = BackendThread(self)
 
+        # Live visualization (the reference's GUI thread), optional: a
+        # lossy snapshot renderer fed from host-side data only — see
+        # utils/live_view.py and VizConfig.
+        self.viewer = None
+        if self.config.viz.enabled:
+            from .utils.live_view import LiveViewer
+
+            self.viewer = LiveViewer(
+                self.config.viz.out_dir,
+                history=self.config.viz.history,
+                map_every=self.config.viz.map_every,
+            )
+
     # ------------------------------------------------------------------
     @property
     def T_wk(self) -> np.ndarray:
@@ -91,7 +104,7 @@ class SlamSystem:
             packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
 
         if self._kf_state is None:
-            T_wc = self._bootstrap(rgb_u8, timestamp, packed)
+            T_wc = self._bootstrap(rgb_u8, timestamp, packed, depth_u16)
             return T_wc
 
         # Live pose-graph publication (the reference's back end publishes
@@ -111,12 +124,14 @@ class SlamSystem:
         self.stats[-1]["ms"] = round((_time.perf_counter() - _t0) * 1e3, 2)
         return T_wc
 
-    def _bootstrap(self, rgb_u8, timestamp, packed) -> np.ndarray:
+    def _bootstrap(self, rgb_u8, timestamp, packed, depth_u16=None) -> np.ndarray:
         """First frame: becomes keyframe 0 at the origin."""
         self._kf_state = self._step.init_keyframe(packed)
         self._motion = MotionState.initial()
         kf0 = self.manager.new_keyframe(timestamp, np.eye(4))
         kf0.rgb = np.ascontiguousarray(rgb_u8)
+        if depth_u16 is not None:
+            kf0.depth = np.ascontiguousarray(depth_u16)
         T_wc = np.eye(4)
         self._record(timestamp, T_wc, None)
         return T_wc
@@ -175,7 +190,39 @@ class SlamSystem:
             if switch:
                 self._on_keyframe_switch(timestamp, T_eff, T_wc, res_np, rec)
         self._record(timestamp, T_wc, res_np)
+        if (
+            self.viewer is not None
+            and self._frame_count % max(self.config.viz.every_n, 1) == 0
+        ):
+            self._publish_viz(rec, lost)
         return T_wc, relocalized
+
+    def _publish_viz(self, rec, lost: bool) -> None:
+        """Hand the live viewer a host-data-only snapshot (lossy, cheap:
+        list/reference assembly, no device readbacks, no rendering)."""
+        act = self.manager.active
+        self.viewer.publish(
+            {
+                "rgb": rec["rgb"],
+                "depth": rec["depth"],
+                "frame": self._frame_count - 1,
+                "n_keyframes": len(self.manager.keyframes),
+                "lost": lost,
+                "kf_rgb": act.rgb,
+                "kf_depth": act.depth,
+                "kf_id": act.kf_id,
+                "poses": [T for _, T in self._trajectory[-2000:]],
+                "kf_poses": [k.T_wk.copy() for k in self.manager.keyframes],
+                "kf_clouds": [
+                    (k.T_wk.copy(), k.cloud)
+                    for k in self.manager.keyframes
+                    if k.cloud is not None
+                ],
+                "depth_scale": self.config.depth_scale,
+                "min_depth": self.config.min_depth,
+                "max_depth": self.config.max_depth,
+            }
+        )
 
     def _try_relocalize(self, rgb_u8, depth_u16, timestamp, packed):
         """Global relocalization of a lost frame against the BoW database.
@@ -273,6 +320,8 @@ class SlamSystem:
         self.manager.finalize(old, rec["prev_state"])
         new = self.manager.new_keyframe(timestamp, T_wc)
         new.rgb = np.ascontiguousarray(rec["rgb"])
+        if self.viewer is not None:
+            new.depth = np.ascontiguousarray(rec["depth"])
         # Odometry edge old->new: T_{old<-new} = inv(T_ck).
         info = np.linalg.pinv(res.cov.astype(np.float64) + 1e-12 * np.eye(6))
         self.manager.add_odometry_edge(
@@ -354,10 +403,16 @@ class SlamSystem:
 
         _t0 = _time.perf_counter()
         levels = self.config.tracking.levels
-        _ = np.asarray(pending[-1]["res_vec"])  # force the whole flight
+        # ONE batched readback for the whole flight: on this platform a D2H
+        # of a value never read before costs ~28-30 ms EVEN IF the chain is
+        # already forced (measured round 2), so reading the 8 per-frame
+        # vectors individually would cost ~240 ms/flight. Stacking them in
+        # one tiny device program and reading that back once pays the
+        # latency once.
+        stacked = np.asarray(jnp.stack([rec["res_vec"] for rec in pending]))
         poses = []
         for i, rec in enumerate(pending):
-            res_np = StepResult.unpack(np.asarray(rec["res_vec"]), levels)
+            res_np = StepResult.unpack(stacked[i], levels)
             T_wc, relocalized = self._handle(rec, res_np)
             poses.append(T_wc)
             if relocalized and i + 1 < len(pending):
@@ -385,6 +440,8 @@ class SlamSystem:
             self.backend.submit(self.manager.active)
             self.backend.finish()
             self._apply_pose_updates()
+        if self.viewer is not None:
+            self.viewer.close()
 
     def _apply_pose_updates(self):
         """Consume optimized keyframe poses from the back end (if any):

@@ -97,7 +97,7 @@ class StepResult(NamedTuple):
 
 
 def pack_frame(rgb_u8, depth_u16):
-    """Host-side: gray u8 + depth u16 into one (H, W, 3) u8 buffer.
+    """Host-side: gray u8 + depth u16 into one PLANAR (3, H, W) u8 buffer.
 
     One device_put instead of two (uploads carry a large fixed cost on the
     sandbox), and gray instead of RGB (0.9 MB vs 1.5 MB at VGA — upload
@@ -105,7 +105,9 @@ def pack_frame(rgb_u8, depth_u16):
     the host for ORB features and colored map export, where it is needed
     anyway). The u8 luma quantization (1/255 ≈ 0.004 in [0,1] intensity)
     is below the photometric residual scales the tracker operates at
-    (validated: bench-clip ATE unchanged).
+    (validated: bench-clip ATE unchanged). Planar layout because the host
+    fill is three contiguous plane copies (~0.2 ms VGA) vs ~1.6 ms for
+    interleaved (H, W, 3) strided writes (measured round 2).
     """
     import numpy as np
 
@@ -125,14 +127,18 @@ def pack_frame(rgb_u8, depth_u16):
                 255,
             ).astype(np.uint8)
     d8 = np.ascontiguousarray(depth_u16).view(np.uint8).reshape(h, w, 2)
-    return np.concatenate([gray[..., None], d8], axis=2)
+    out = np.empty((3, h, w), np.uint8)
+    out[0] = gray
+    out[1] = d8[..., 0]
+    out[2] = d8[..., 1]
+    return out
 
 
 def unpack_frame(packed_u8):
     """Device-side inverse of pack_frame: (gray u8, depth u16)."""
-    gray = packed_u8[:, :, 0]
-    lo = packed_u8[:, :, 1].astype(jnp.uint16)
-    hi = packed_u8[:, :, 2].astype(jnp.uint16)
+    gray = packed_u8[0]
+    lo = packed_u8[1].astype(jnp.uint16)
+    hi = packed_u8[2].astype(jnp.uint16)
     return gray, lo | (hi << 8)
 
 

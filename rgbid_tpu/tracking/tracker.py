@@ -181,8 +181,8 @@ def _track_impl(
 
         esm = getattr(cfg, "jacobian", "ic") == "esm"
 
-        def body(_, carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points, esm=esm):
-            T, s2i, s2x, _H, _e, _i, _n = carry
+        def body(carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points, esm=esm):
+            it, T, s2i, s2x, _H, _e, _i, _n, _step = carry
             if esm:
                 res = irls(
                     T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
@@ -213,8 +213,11 @@ def _track_impl(
                 )
                 if axis_name is not None:
                     res = gauss_newton.allreduce_irls(res, axis_name)
-            T_new, _ = gauss_newton.ic_update(T, res.H, res.b, cfg.damping, res.n_valid)
+            T_new, delta = gauss_newton.ic_update(
+                T, res.H, res.b, cfg.damping, res.n_valid
+            )
             return (
+                it + 1,
                 T_new,
                 res.sigma2_int,
                 res.sigma2_xi,
@@ -222,9 +225,11 @@ def _track_impl(
                 res.error,
                 res.inlier_frac,
                 res.n_valid,
+                jnp.linalg.norm(delta),
             )
 
         init = (
+            jnp.asarray(0, jnp.int32),
             T,
             s2i,
             s2x,
@@ -232,10 +237,33 @@ def _track_impl(
             jnp.asarray(0.0, jnp.float32),
             jnp.asarray(0.0, jnp.float32),
             jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(jnp.inf, jnp.float32),
         )
-        T, s2i, s2x, H_last, err, inl, nv = jax.lax.fori_loop(
-            0, n_iters, body, init
-        )
+        tol_f = float(getattr(cfg, "early_exit_tol", 0.0))
+        if tol_f > 0.0:
+            # Early exit: a converged GN iteration (step norm below tol)
+            # would update the pose by less than the tolerance — pure waste
+            # at the fixed per-iteration cost — so stop the level there and
+            # treat cfg.iters as BUDGETS. Worth it on real TPU hardware
+            # (while_loop trip overhead is ~us); on the sandbox emulator a
+            # while_loop costs ~5 ms per INSTANCE even at zero iterations
+            # (measured round 2), which cancels the savings — hence the
+            # static fori_loop default (early_exit_tol = 0). Under SPMD the
+            # step norm comes from the psum'd (replicated) solve, so every
+            # device takes the same branch.
+            tol = jnp.asarray(tol_f, jnp.float32)
+
+            def cond(carry):
+                it, *_rest, step = carry
+                return jnp.logical_and(it < n_iters, step > tol)
+
+            _, T, s2i, s2x, H_last, err, inl, nv, _ = jax.lax.while_loop(
+                cond, body, init
+            )
+        else:
+            _, T, s2i, s2x, H_last, err, inl, nv, _ = jax.lax.fori_loop(
+                0, n_iters, lambda _i, c: body(c), init
+            )
         errors.append(err)
         inliers.append(inl)
         nvalids.append(nv)
