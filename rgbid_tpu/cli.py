@@ -55,6 +55,14 @@ def main(argv=None):
     ap.add_argument("--eval", action="store_true", help="print ATE/RPE vs ground truth")
     ap.add_argument("--voxel", type=float, default=0.01, help="map voxel downsample (m)")
     ap.add_argument("--viz", action="store_true", help="write trajectory/map PNGs to out-dir")
+    ap.add_argument(
+        "--live-viz",
+        metavar="DIR",
+        default=None,
+        help="run the live 3-pane viewer: periodically composite current "
+        "frame / active keyframe / map+trajectory into DIR/live.png "
+        "while tracking (see VizConfig for cadence knobs)",
+    )
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -72,6 +80,8 @@ def main(argv=None):
     overrides = _parse_set(args.set)
     if overrides:
         cfg = cfg.override(**{k: tuple(v) if isinstance(v, list) else v for k, v in overrides.items()})
+    if args.live_viz:
+        cfg = cfg.override(**{"viz.enabled": True, "viz.out_dir": args.live_viz})
 
     # Frame source.
     gt_poses = None

@@ -160,6 +160,10 @@ class Keyframe:
     # color for ORB features and colored map export (the reference's
     # keyframes carry the color image; SURVEY.md §2.1 Keyframe struct).
     rgb: Optional[np.ndarray] = None
+    # Host copy of the founding frame's raw depth (H, W) u16 — used only by
+    # the live viewer's keyframe pane (the fused inverse depth lives on
+    # device and is never read back per frame).
+    depth: Optional[np.ndarray] = None
     # Finalized dense artifacts (filled when the keyframe is retired or on
     # demand): point cloud (N, 6) xyz+rgb in keyframe coordinates.
     cloud: Optional[np.ndarray] = None
