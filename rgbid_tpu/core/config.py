@@ -96,6 +96,43 @@ class TrackingConfig:
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
     # the stored J at r -> 0) is unchanged. Use "f32" to disable.
     jac_dtype: str = "bf16"
+    # Depth-stratified motion consensus (tracking/consensus.py): detects a
+    # coherently moving, information-dominant foreground (the documented
+    # breaking point of non-segmenting dense VO, reference included) at
+    # the PREDICTED pose by letting each inverse-depth stratum of the
+    # template vote on the pose with PIXEL-COUNT support, then tracks with
+    # the persistent non-consensus strata masked out of the template.
+    # Costs one fused stratified reduction per frame at consensus_level.
+    consensus: bool = True
+    consensus_bins: int = 6
+    # Detection pyramid level (clamped to levels-1): coarse is cheap and
+    # the drag signal (~cm) is far above coarse-level noise.
+    consensus_level: int = 2
+    # Agreement tolerance between stratum hypotheses, measured as the RMS
+    # image flow (PIXELS at consensus_level) one stratum's pose would
+    # induce on another relative to its own optimum (geometry-Gram
+    # metric; see tracking/consensus.py analyze()). Calibrated on the
+    # gauntlet: a walking-speed near mover shows 1.0-1.3 px disagreement,
+    # static-scene ambiguity splits reach ~0.55 px on hard jitter frames.
+    consensus_tol: float = 0.6
+    # A stratum votes only if it holds this fraction of valid pixels.
+    consensus_min_frac: float = 0.03
+    # Error-outlier exclusion (fast movers beyond the linearization
+    # basin): a voter stratum is excluded when its per-pixel weighted
+    # error exceeds max(err_ratio * voters' median, err_floor). With the
+    # fixed init sigmas, aligned strata sit at (r/sigma)^2 << 1 and
+    # decorrelated ones saturate near nu+1 per pixel.
+    consensus_err_ratio: float = 4.0
+    consensus_err_floor: float = 1.0
+    # Refit only if the excluded strata hold more than this pixel fraction.
+    consensus_trigger_frac: float = 0.03
+    # ...and LESS than this: a mover is a pixel minority by construction;
+    # "half the image disagrees" is unresolved optimization error, not
+    # dynamics, and masking it amplifies noise (measured).
+    consensus_max_frac: float = 0.35
+    # Inverse-depth range binned into consensus_bins log-spaced strata.
+    consensus_xi_min: float = 0.1
+    consensus_xi_max: float = 3.4
     # Per-level early exit: stop a level's IRLS loop once the solved pose
     # step's twist norm (meters + radians) falls below this; cfg.iters then
     # acts as a BUDGET — hard frames spend it all, converged frames skip
@@ -270,10 +307,14 @@ class SlamConfig:
     @classmethod
     def from_json(cls, text: str) -> "SlamConfig":
         raw = json.loads(text)
+        # JSON has no tuples: coerce list-valued fields (iters,
+        # consensus_refit_iters, ...) back to tuples generically.
+        raw_t = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in raw.get("tracking", {}).items()
+        }
         return cls(
-            tracking=TrackingConfig(**{**raw.get("tracking", {}), "iters": tuple(raw.get("tracking", {}).get("iters", TrackingConfig.iters))})
-            if "tracking" in raw
-            else TrackingConfig(),
+            tracking=TrackingConfig(**raw_t),
             keyframe=KeyframeConfig(**raw.get("keyframe", {})),
             fusion=FusionConfig(**raw.get("fusion", {})),
             backend=BackendConfig(**raw.get("backend", {})),

@@ -292,6 +292,7 @@ def generate_sequence(
     depth_hole_frac: float = 0.0,
     moving_occluder: bool = False,
     occluder_z: float = 1.4,
+    occluder_speed: float | None = None,
     **motion_kwargs,
 ) -> SyntheticSequence:
     """Render a sequence; the optional degradations make up the hard-mode
@@ -338,7 +339,17 @@ def generate_sequence(
             tint=np.array([0.85, 1.0, 1.0], np.float32),
         )
         # Sweeps left-to-right through the frustum over the sequence.
-        occ_vel = np.array([2.6 / max(n_frames - 1, 1), 0.0, 0.0])
+        # Default: sweep the full 2.6 m across the sequence (per-frame
+        # speed then scales with 1/n_frames — a 24-frame clip gets a
+        # ballistic ~0.11 m/frame panel). occluder_speed pins the
+        # per-frame speed in m/frame instead (0.015 at 30 Hz ~= a person
+        # walking at 0.45 m/s — the realistic dynamic-scene regime).
+        speed = (
+            occluder_speed
+            if occluder_speed is not None
+            else 2.6 / max(n_frames - 1, 1)
+        )
+        occ_vel = np.array([speed, 0.0, 0.0])
 
     for i, T in enumerate(poses):
         if occluder is not None:

@@ -73,6 +73,18 @@ def scenarios(n_frames: int):
             {},
         ),
         (
+            # Same near-field dominant panel at WALKING speed (0.015
+            # m/frame = 0.45 m/s at 30 Hz — the TUM fr3/walking-class
+            # regime). The depth-stratified motion consensus
+            # (tracking/consensus.py) detects and masks it; the reference
+            # class has no equivalent mechanism.
+            "moving_occluder_near_walking",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=1.4,
+                 occluder_speed=0.015, **hard_noise),
+            {},
+        ),
+        (
             # Everything at once (mid-field mover — the near-field one has
             # its own dedicated row as the documented breaking point).
             "combined_endurance",

@@ -334,6 +334,156 @@ def esm_residuals_and_normal_eq(
     return IrlsResult(H, b, s2i, s2x, err, n_valid, inl)
 
 
+def stratified_normal_eq(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_points: tuple,
+    kf_mask: jax.Array,
+    kf_grads: jax.Array,  # (4, H, W) template gradients (ESM storage)
+    cur_stack: jax.Array,  # (3+, H, W) [I, xi, mask, ...] current planes
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    strata: jax.Array,  # (K, H, W) one-hot stratum membership (f32)
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+    occlusion_gate: bool = True,
+    axis_name: str | None = None,
+):
+    """Depth-stratified normal equations: one (H_k, b_k, n_k) per stratum.
+
+    The motion-consensus check (tracking/consensus.py) needs to know what
+    pose correction each DEPTH BAND of the template would individually
+    ask for at the converged pose: a coherently moving, information-
+    dominant foreground object (warp Jacobians scale as 1/z^2) drags the
+    global solve, and per-pixel robust weighting cannot see it because
+    the object is self-consistent — but it lives in different depth
+    strata than the static background, and its strata disagree with the
+    pixel-count majority about the pose. This is the segmentation signal
+    the reference (and all non-segmenting dense VO) lacks.
+
+    Math is the template-gradient ESM evaluation (the fine-level mode of
+    esm_residuals_and_normal_eq, including the occlusion gate), reduced
+    PER STRATUM: the 21+6+2 per-pixel quantity planes are flattened into
+    a (29, N) matrix and hit with the (K, N) one-hot stratum matrix — one
+    matmul instead of K full reductions. Returns RAW sums (information
+    matrices, not per-pixel means): (K, 6, 6) H, (K, 6) b, (K,) n.
+    """
+    Px, Py, Pz = kf_points
+    from .warp import sample_stack7, transform_project
+
+    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
+    samples, mask_ok, inb = sample_stack7(cur_stack, up, vp)
+    i_s, xi_s = samples[0], samples[1]
+    valid = kf_mask * front * inb * mask_ok
+    r_i = (i_s - kf_int) * valid
+    r_x = (xi_s - rho) * valid
+    if occlusion_gate and use_geometric:
+        thresh = (2.0 * gate_sigmas) ** 2 * sigma2_xi + 0.05**2
+        w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
+    else:
+        w_gate = 1.0
+    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid * w_gate / sigma2_int
+    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid * w_gate / sigma2_xi
+
+    iz = 1.0 / jnp.maximum(Pz, 1e-6)
+    iz2 = iz * iz
+    ju = (
+        intr.fx * iz,
+        jnp.zeros_like(Px),
+        -intr.fx * Px * iz2,
+        -intr.fx * Px * Py * iz2,
+        intr.fx * (1.0 + Px * Px * iz2),
+        -intr.fx * Py * iz,
+    )
+    jv = (
+        jnp.zeros_like(Px),
+        intr.fy * iz,
+        -intr.fy * Py * iz2,
+        -intr.fy * (1.0 + Py * Py * iz2),
+        intr.fy * Px * Py * iz2,
+        intr.fy * Px * iz,
+    )
+    R = T[:3, :3]
+    rho2 = rho * rho
+    jrho = (
+        -rho2 * R[2, 0],
+        -rho2 * R[2, 1],
+        -rho2 * R[2, 2],
+        -rho2 * (Py * R[2, 2] - Pz * R[2, 1]),
+        -rho2 * (Pz * R[2, 0] - Px * R[2, 2]),
+        -rho2 * (Px * R[2, 1] - Py * R[2, 0]),
+    )
+    kfg = kf_grads.astype(jnp.float32)
+    if cur_stack.shape[0] >= 7:
+        # ESM-averaged gradients (same model as the production kernel at
+        # this level): evaluating the vote with template-only gradients
+        # while the pose converged under averaging injects a per-stratum
+        # systematic bias.
+        g_i_x = 0.5 * (kfg[0] + samples[3])
+        g_i_y = 0.5 * (kfg[1] + samples[4])
+        g_x_x = 0.5 * (kfg[2] + samples[5])
+        g_x_y = 0.5 * (kfg[3] + samples[6])
+    else:
+        g_i_x, g_i_y, g_x_x, g_x_y = kfg[0], kfg[1], kfg[2], kfg[3]
+    Ji = [g_i_x * ju[k] + g_i_y * jv[k] for k in range(6)]
+    if use_geometric:
+        Jx = [g_x_x * ju[k] + g_x_y * jv[k] - jrho[k] for k in range(6)]
+
+    cols = []
+    idx = []
+    for a in range(6):
+        for c in range(a, 6):
+            q = w_i * Ji[a] * Ji[c]
+            if use_geometric:
+                q = q + w_x * Jx[a] * Jx[c]
+            cols.append(q)
+            idx.append((a, c))
+    for a in range(6):
+        q = w_i * Ji[a] * r_i
+        if use_geometric:
+            q = q + w_x * Jx[a] * r_x
+        cols.append(q)
+    cols.append(valid)
+    # Per-stratum weighted error: with fixed sigmas, a stratum whose
+    # content has moved beyond the linearization basin (fast mover) shows
+    # DECORRELATED residuals — its Student-t-weighted error saturates at
+    # ~(nu+1) per pixel while aligned strata sit near (r/sigma)^2 << 1.
+    # The consensus error-outlier test keys on this (the delta vote alone
+    # cannot see a basin-escaped mover: its gradients decorrelate and its
+    # b_k collapses to noise — measured).
+    cols.append(w_i * r_i * r_i + (w_x * r_x * r_x if use_geometric else 0.0))
+    # Geometry Gram G = sum valid (Ju Ju^T + Jv Jv^T): the UNWEIGHTED,
+    # texture-free warp-Jacobian outer product. d^T (G/n) d is the mean
+    # squared image flow (pixels^2) a twist d induces on the stratum —
+    # the consensus vote compares hypotheses in this metric, because a
+    # mover's coarse-level IMAGE information can be blurred away while
+    # its geometric flow disagreement is resolution-independent.
+    for a in range(6):
+        for c in range(a, 6):
+            cols.append(valid * (ju[a] * ju[c] + jv[a] * jv[c]))
+    Q = jnp.stack([c.reshape(-1) for c in cols], axis=1)  # (N, 50)
+    S = strata.reshape(strata.shape[0], -1)  # (K, N)
+    out = S @ Q  # (K, 50)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+
+    K = strata.shape[0]
+    Hk = jnp.zeros((K, 6, 6), jnp.float32)
+    Gk = jnp.zeros((K, 6, 6), jnp.float32)
+    for j, (a, c) in enumerate(idx):
+        Hk = Hk.at[:, a, c].set(out[:, j])
+        Gk = Gk.at[:, a, c].set(out[:, 29 + j])
+        if a != c:
+            Hk = Hk.at[:, c, a].set(out[:, j])
+            Gk = Gk.at[:, c, a].set(out[:, 29 + j])
+    bk = out[:, 21:27]
+    nk = out[:, 27]
+    ek = out[:, 28]
+    return Hk, bk, nk, Gk, ek
+
+
 def ic_update(T: jax.Array, H: jax.Array, b: jax.Array, damping: float, n_valid):
     """delta = solve(H + lambda I, b); T <- T . exp(-delta) (on device).
 

@@ -91,7 +91,7 @@ class ShardedTracker:
                 P(),  # T_init replicated
             ),
             out_specs=jax.tree_util.tree_map(
-                lambda _: P(), TrackResult(*[0] * 8)
+                lambda _: P(), TrackResult(*[0] * len(TrackResult._fields))
             ),
             check_vma=False,  # psum'd outputs are replicated by construction
         )

@@ -127,7 +127,7 @@ class SlamSystem:
     def _bootstrap(self, rgb_u8, timestamp, packed, depth_u16=None) -> np.ndarray:
         """First frame: becomes keyframe 0 at the origin."""
         self._kf_state = self._step.init_keyframe(packed)
-        self._motion = MotionState.initial()
+        self._motion = MotionState.initial(self.config.tracking.consensus_bins)
         kf0 = self.manager.new_keyframe(timestamp, np.eye(4))
         kf0.rgb = np.ascontiguousarray(rgb_u8)
         if depth_u16 is not None:
@@ -289,7 +289,7 @@ class SlamSystem:
         # The current frame founds a fresh keyframe at the recovered pose;
         # reset the device tracking state (identity pose + velocity).
         self._kf_state = self._step.init_keyframe(packed)
-        self._motion = MotionState.initial()
+        self._motion = MotionState.initial(self.config.tracking.consensus_bins)
         new = self.manager.new_keyframe(timestamp, T_wc)
         new.rgb = np.ascontiguousarray(rgb_u8)
         # Loop edge to the matched keyframe keeps the pose graph connected.
@@ -346,6 +346,7 @@ class SlamSystem:
                 lost=bool(res.lost > 0.5),
                 switch=bool(res.switch > 0.5),
                 relocalized=self._relocalized,
+                consensus_frac=float(res.consensus_frac),
             )
         self._relocalized = False
         self.stats.append(rec)

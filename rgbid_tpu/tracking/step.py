@@ -51,11 +51,19 @@ class MotionState(NamedTuple):
     T_ck: jax.Array
     delta: jax.Array
     lost_count: jax.Array
+    # (consensus_bins,) last frame's raw per-stratum disagreement flags —
+    # the motion-consensus persistence gate (tracking/consensus.py).
+    cons_excluded: jax.Array = None
 
     @classmethod
-    def initial(cls) -> "MotionState":
+    def initial(cls, cons_bins: int = 6) -> "MotionState":
         eye = jnp.eye(4, dtype=jnp.float32)
-        return cls(T_ck=eye, delta=eye, lost_count=jnp.asarray(0.0, jnp.float32))
+        return cls(
+            T_ck=eye,
+            delta=eye,
+            lost_count=jnp.asarray(0.0, jnp.float32),
+            cons_excluded=jnp.zeros((cons_bins,), jnp.float32),
+        )
 
 
 class StepResult(NamedTuple):
@@ -77,6 +85,7 @@ class StepResult(NamedTuple):
     overlap: jax.Array  # ()
     sigma2_int: jax.Array
     sigma2_xi: jax.Array
+    consensus_frac: jax.Array  # () pixel fraction masked by motion consensus
 
     def pack(self) -> jax.Array:
         flat = [jnp.ravel(x).astype(jnp.float32) for x in self]
@@ -89,7 +98,7 @@ class StepResult(NamedTuple):
         v = np.asarray(vec)
         L = levels
         out, o = [], 0
-        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), ()]:
+        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), (), ()]:
             n = int(np.prod(shape)) if shape else 1
             out.append(v[o : o + n].reshape(shape) if shape else v[o])
             o += n
@@ -172,7 +181,10 @@ def _process_frame_impl(
     # Constant-velocity prediction (on device; f32 compose chains need the
     # Newton-polar re-projection onto SO(3) — see core/se3.py).
     T_init = se3.orthonormalize(se3.inv(motion.delta) @ motion.T_ck)
-    track: TrackResult = _track_impl(kf.levels, cur, T_init, intrs, tcfg)
+    track: TrackResult = _track_impl(
+        kf.levels, cur, T_init, intrs, tcfg,
+        cons_prev=motion.cons_excluded,
+    )
 
     # Pose covariance: inverse of the final normal matrix (information).
     # track.H is per-pixel-normalized (conditioning); undo that here.
@@ -275,6 +287,9 @@ def _process_frame_impl(
         T_ck=T_ck_new,
         delta=delta_new,
         lost_count=jnp.where(lost, motion.lost_count + 1.0, 0.0),
+        # Persistence memory: this frame's raw disagreement flags (zeroed
+        # on lost frames so a recovery can't inherit stale dynamics).
+        cons_excluded=jnp.where(lost, 0.0, track.cons_excluded),
     )
 
     res = StepResult(
@@ -289,6 +304,7 @@ def _process_frame_impl(
         overlap=track.overlap,
         sigma2_int=track.sigma2_int,
         sigma2_xi=track.sigma2_xi,
+        consensus_frac=track.consensus_frac,
     )
     return res.pack(), kf2, motion2
 

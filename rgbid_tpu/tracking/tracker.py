@@ -72,6 +72,11 @@ def _apply_affine_illumination(
     small, clipped, and absorbed by the robust weights. Purely
     tracker-local — the stored keyframe state is never mutated.
     """
+    # Moments at LEVEL 0: coarse-level moments would be ~16x cheaper and
+    # are statistically equivalent in expectation, but the interaction of
+    # their slightly noisier gain with the dead zone measurably moved the
+    # handheld-jitter gauntlet (4.6 -> 6.3 mm) — the reduction is cheap
+    # relative to one tracking iteration, so full resolution it stays.
     kl, cl = kf[0], cur[0]
     n = jnp.asarray(kl.intensity.size, jnp.float32)
     sums = jnp.stack(
@@ -131,6 +136,13 @@ class TrackResult(NamedTuple):
     overlap: jax.Array  # () valid fraction vs keyframe valid count (finest)
     sigma2_int: jax.Array  # ()
     sigma2_xi: jax.Array  # ()
+    # Pixel fraction masked out by the depth-stratified motion consensus
+    # (0 when no refit was triggered / consensus disabled).
+    consensus_frac: jax.Array = None
+    # (consensus_bins,) raw per-stratum disagreement flags THIS frame —
+    # threaded through MotionState so the next frame can require
+    # persistence (tracking/consensus.py decide()).
+    cons_excluded: jax.Array = None
 
 
 def _track_impl(
@@ -140,6 +152,7 @@ def _track_impl(
     intrs: Tuple[Intrinsics, ...],
     cfg: TrackingConfig,
     axis_name: str | None = None,
+    cons_prev: jax.Array | None = None,
 ) -> TrackResult:
     """The production coarse-to-fine tracker.
 
@@ -166,6 +179,29 @@ def _track_impl(
         kf = _apply_affine_illumination(
             kf, cur, T_init, intrs, cfg, axis_name
         )
+
+    # Depth-stratified motion consensus (tracking/consensus.py): detect a
+    # coherently moving, information-dominant foreground and mask its
+    # strata out of the template BEFORE the fine levels, where its
+    # information would drag the pose. The vote runs inside the level
+    # loop, right after the detection level's iterations finish — the key
+    # is the pyramid's information asymmetry: a mover's texture is mostly
+    # blurred away at the coarse levels, so the coarse-converged pose is
+    # an (almost) clean static estimate to vote at, while the geometry-
+    # flow metric in analyze() still sees the mover's flow disagreement
+    # (geometry is resolution-free even when its image gradients are
+    # not). Earlier designs measured and rejected: voting at T_init
+    # (prediction error + per-stratum damping bias = 3 cm spurious
+    # splits), voting at the fully converged pose (adaptive sigmas have
+    # crushed the losing side by then), a dedicated fixed-sigma mini-GN
+    # at the detection level (4 iterations from T_init do not converge on
+    # hard frames — coarse-to-fine exists for a reason).
+    consensus_frac = jnp.asarray(0.0, jnp.float32)
+    cons_excluded = jnp.zeros(
+        (getattr(cfg, "consensus_bins", 6),), jnp.float32
+    )
+    consensus_on = getattr(cfg, "consensus", False) and esm_mode
+    det_l = min(getattr(cfg, "consensus_level", 2), levels - 1)
 
     for level in range(levels - 1, -1, -1):
         kl, cl = kf[level], cur[level]
@@ -268,6 +304,65 @@ def _track_impl(
         inliers.append(inl)
         nvalids.append(nv)
 
+        if consensus_on and level == det_l:
+            from . import consensus as _cons
+
+            edges = _cons.stratum_edges(
+                cfg.consensus_xi_min, cfg.consensus_xi_max,
+                cfg.consensus_bins,
+            )
+            strata = _cons.stratum_onehot(kl.xi, kl.mask, edges)
+            # The vote uses FIXED generous init sigmas (the adaptive ones
+            # have already adapted to the compromise) and keeps the
+            # occlusion gate ON: with these sigmas it is a wide ~0.3 1/m
+            # gate that strips CROSS-DEPTH pollution (template pixels
+            # warping onto a foreground object) while a fronto-parallel
+            # mover's own strata sample their own depth and keep their
+            # coherent flow signal.
+            Hk, bk, nk, Gk, ek = gauss_newton.stratified_normal_eq(
+                T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
+                intr_l, cfg.student_t_nu,
+                jnp.asarray(cfg.init_sigma_int**2, jnp.float32),
+                jnp.asarray(cfg.init_sigma_xi**2, jnp.float32),
+                strata, cfg.use_geometric, cfg.gate_sigmas,
+                occlusion_gate=True, axis_name=axis_name,
+            )
+            verdict = _cons.analyze(
+                Hk, bk, nk, Gk, ek, cfg.consensus_tol,
+                cfg.consensus_min_frac,
+                getattr(cfg, "consensus_err_ratio", 4.0),
+                getattr(cfg, "consensus_err_floor", 1.0),
+            )
+            cons_excluded = verdict.excluded
+            # Persistence: a mover must flag the same strata two frames
+            # in a row (cons_prev is last frame's raw flags via
+            # MotionState). Callers without history (single-shot
+            # tracking, relocalization) pass None -> persistence waived.
+            prev = (
+                cons_prev
+                if cons_prev is not None
+                else jnp.ones_like(verdict.excluded)
+            )
+            decision = _cons.decide(
+                verdict, prev, nk, cfg.consensus_trigger_frac,
+                getattr(cfg, "consensus_max_frac", 0.4),
+            )
+            consensus_frac = decision.excluded_frac
+            # Mask the flagged strata out of the template for the
+            # REMAINING (finer) levels (member = all-ones when not
+            # triggered, so this is a no-op multiply).
+            kf = tuple(
+                KeyframeLevel(
+                    klm.intensity,
+                    klm.xi,
+                    _cons.member_mask(
+                        klm.xi, klm.mask, edges, decision.member
+                    ),
+                    klm.jac,
+                )
+                for klm in kf
+            )
+
     kf_count = jnp.sum(kf[0].mask)
     cur_count = jnp.sum(cur[0].mask)
     n_px = jnp.asarray(
@@ -302,6 +397,8 @@ def _track_impl(
         overlap=overlap,
         sigma2_int=s2i,
         sigma2_xi=s2x,
+        consensus_frac=consensus_frac,
+        cons_excluded=cons_excluded,
     )
 
 

@@ -54,6 +54,8 @@ def save(system: "SlamSystem", path: str) -> None:
         arrays["T_ck"] = np.asarray(system._motion.T_ck)
         arrays["delta"] = np.asarray(system._motion.delta)
         arrays["lost_count"] = np.asarray(system._motion.lost_count)
+        if system._motion.cons_excluded is not None:
+            arrays["cons_excluded"] = np.asarray(system._motion.cons_excluded)
     arrays["traj_t"] = np.asarray([t for t, _ in system._trajectory])
     arrays["traj_T"] = np.stack([T for _, T in system._trajectory]) if system._trajectory else np.zeros((0, 4, 4))
 
@@ -109,10 +111,16 @@ def restore(path: str, config=None) -> "SlamSystem":
     if "T_ck" in z:
         from ..tracking.step import MotionState
 
+        bins = cfg.tracking.consensus_bins
         system._motion = MotionState(
             T_ck=jnp.asarray(z["T_ck"], jnp.float32),
             delta=jnp.asarray(z["delta"], jnp.float32),
             lost_count=jnp.asarray(z["lost_count"], jnp.float32),
+            cons_excluded=jnp.asarray(
+                z["cons_excluded"], jnp.float32
+            )
+            if "cons_excluded" in z
+            else jnp.zeros((bins,), jnp.float32),
         )
     system._trajectory = [
         (float(t), T) for t, T in zip(z["traj_t"], z["traj_T"])

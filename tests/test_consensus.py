@@ -1,0 +1,199 @@
+"""Depth-stratified motion consensus (tracking/consensus.py).
+
+The near-field moving occluder is the documented breaking point of
+non-segmenting dense VO (round-2 gauntlet: 372 mm ATE): a fronto-parallel
+panel at 1.4 m carrying ~2/3 of the Fisher information drags the pose and
+neither robust weighting nor the occlusion gate can reject it. The
+consensus mechanism must (a) crack that scenario and (b) stay silent on
+rigid scenes.
+"""
+
+import numpy as np
+import pytest
+
+from rgbid_tpu.core.camera import Intrinsics
+from rgbid_tpu.core.config import SlamConfig
+from rgbid_tpu.datasets import synthetic
+from rgbid_tpu.eval import absolute_trajectory_error
+from rgbid_tpu.system import SlamSystem
+
+INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.5, cy=119.5, width=320, height=240)
+
+
+def _run(seq, consensus: bool):
+    cfg = SlamConfig().override(
+        **{
+            "backend.enabled": False,
+            "tracking.consensus": consensus,
+        }
+    )
+    slam = SlamSystem(INTR, cfg)
+    slam.feed(list(seq.frames()))
+    slam.finish()
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    ate = absolute_trajectory_error(
+        [gt0 @ T for T in seq.gt_poses], slam.poses()
+    )
+    fracs = [s.get("consensus_frac", 0.0) for s in slam.stats]
+    return ate["rmse"], fracs
+
+
+# ---------------------------------------------------------------------------
+# Unit level: analyze() picks the pixel-count majority, not the
+# information-dominant minority.
+
+
+def test_analyze_pixel_majority_wins():
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    K = 6
+    # Strata 0-3: static scene, small corrections, 70% of pixels.
+    # Stratum 4: the mover — HUGE information, 25% of pixels, large delta.
+    # Stratum 5: nearly empty (no vote).
+    nk = jnp.asarray([2000.0, 1500.0, 1800.0, 1700.0, 2500.0, 50.0])
+    deltas_true = [
+        [0.0002, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0003, 0.0, 0.0, 0.0, 0.0],
+        [-0.0002, 0.0, 0.0001, 0.0, 0.0, 0.0],
+        [0.0001, -0.0001, 0.0, 0.0, 0.0, 0.0],
+        [0.02, 0.01, 0.0, 0.0, 0.0, 0.0],  # mover: 2 cm drag
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ]
+    info = [1e4, 1e4, 1e4, 1e4, 1e6, 1e2]  # mover dominates information
+    Hk = jnp.stack([i * jnp.eye(6) for i in info]) * nk[:, None, None]
+    bk = jnp.stack(
+        [
+            Hk[k] @ jnp.asarray(deltas_true[k]) / nk[k] * nk[k]
+            for k in range(K)
+        ]
+    )
+    # Geometry Gram: ~1e4 px^2 per unit twist for every stratum (the
+    # flow metric then reads 100 px per metre — VGA-scale), and aligned
+    # per-pixel errors well under the outlier floor.
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * K) * nk[:, None, None]
+    ek = 0.1 * nk
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    dec = cons.decide(
+        res, jnp.ones(K), nk, trigger_frac=0.03, max_frac=0.4
+    )
+    assert bool(dec.triggered)
+    member = np.asarray(dec.member)
+    assert member[4] == 0.0  # the mover is voted out
+    np.testing.assert_array_equal(member[:4], 1.0)  # static strata kept
+    assert member[5] == 1.0  # non-voters are never excluded
+    assert 0.2 < float(dec.excluded_frac) < 0.3
+    # Persistence gate: with no history the same verdict must NOT refit.
+    dec0 = cons.decide(
+        res, jnp.zeros(K), nk, trigger_frac=0.03, max_frac=0.4
+    )
+    assert not bool(dec0.triggered)
+    np.testing.assert_array_equal(np.asarray(dec0.member), 1.0)
+
+
+def test_analyze_static_scene_no_trigger():
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    nk = jnp.asarray(rng.uniform(500, 3000, 6).astype(np.float32))
+    deltas = jnp.asarray(rng.normal(0, 3e-4, (6, 6)).astype(np.float32))
+    Hk = jnp.stack([1e4 * jnp.eye(6)] * 6) * nk[:, None, None]
+    bk = jnp.einsum("kij,kj->ki", Hk / nk[:, None, None], deltas) * nk[:, None]
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * 6) * nk[:, None, None]
+    ek = 0.1 * nk
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    dec = cons.decide(res, jnp.ones(6), nk, trigger_frac=0.03, max_frac=0.4)
+    assert not bool(dec.triggered)
+    np.testing.assert_array_equal(np.asarray(dec.member), 1.0)
+
+
+def test_analyze_error_outlier_excludes_fast_mover():
+    """A basin-escaped mover cannot vote (b ~ 0) but its weighted error
+    saturates — the error-outlier test must still exclude it."""
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    nk = jnp.asarray([2000.0, 1800.0, 2200.0, 900.0, 0.0, 0.0])
+    Hk = jnp.stack([1e4 * jnp.eye(6)] * 6) * jnp.maximum(nk, 1)[:, None, None]
+    bk = jnp.zeros((6, 6))  # everyone "converged" (the fast mover's b
+    # decorrelated to noise; statics genuinely converged)
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * 6) * jnp.maximum(nk, 1)[:, None, None]
+    ek = jnp.asarray([0.1, 0.15, 0.12, 4.8, 0.0, 0.0]) * jnp.maximum(nk, 1)
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    dec = cons.decide(res, jnp.ones(6), nk, trigger_frac=0.03, max_frac=0.4)
+    assert bool(dec.triggered)
+    member = np.asarray(dec.member)
+    assert member[3] == 0.0  # saturated-error stratum excluded
+    np.testing.assert_array_equal(member[:3], 1.0)
+
+
+def test_stratum_masks_roundtrip():
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    edges = cons.stratum_edges(0.1, 3.4, 6)
+    assert edges.shape == (7,)
+    xi = jnp.asarray([[0.05, 0.15, 0.7, 3.0], [1.0, 2.0, 3.39, 5.0]], jnp.float32)
+    mask = jnp.ones_like(xi)
+    oh = cons.stratum_onehot(xi, mask, edges)
+    assert oh.shape == (6, 2, 4)
+    np.testing.assert_allclose(np.asarray(oh.sum(0)), 1.0)  # partition
+    member = jnp.asarray([1.0, 0.0, 1.0, 1.0, 1.0, 1.0])
+    keep = cons.member_mask(xi, mask, edges, member)
+    idx = np.asarray(cons.stratum_index(xi, edges))
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(member)[idx])
+
+
+# ---------------------------------------------------------------------------
+# System level.
+
+
+@pytest.fixture(scope="module")
+def near_mover_seq():
+    # Near-field panel at WALKING speed (0.015 m/frame = 0.45 m/s at
+    # 30 Hz): the realistic dynamic-scene regime (TUM fr3/walking-class),
+    # where the mover stays within the coarse-level linearization basin
+    # and the consensus vote can see it. The gauntlet's ballistic variant
+    # (2.6 m sweep in 60 frames) remains the documented outer limit.
+    return synthetic.generate_sequence(
+        n_frames=40,
+        intr=INTR,
+        motion="orbit",
+        trans_amp=0.25,
+        rot_amp=0.08,
+        xi_noise_sigma=0.005,
+        moving_occluder=True,
+        occluder_z=1.4,
+        occluder_speed=0.015,
+        seed=1,
+    )
+
+
+def test_consensus_rejects_walking_speed_near_mover(near_mover_seq):
+    ate_off, _ = _run(near_mover_seq, consensus=False)
+    ate_on, fracs = _run(near_mover_seq, consensus=True)
+    # The mechanism must actually fire while the panel dominates...
+    assert max(fracs) > 0.05
+    # ...and cut the trajectory error at least in half (measured: ~2.5x,
+    # 40 -> 16 mm ATE on this clip; per-frame drift is capped during the
+    # fired window instead of accumulating).
+    assert ate_on < ate_off / 2.0, (ate_on, ate_off)
+    assert ate_on < 0.025, ate_on
+
+
+def test_consensus_silent_on_rigid_scene():
+    seq = synthetic.generate_sequence(
+        n_frames=16,
+        intr=INTR,
+        motion="orbit",
+        trans_amp=0.25,
+        rot_amp=0.08,
+        xi_noise_sigma=0.005,
+        seed=2,
+    )
+    ate_off, _ = _run(seq, consensus=False)
+    ate_on, fracs = _run(seq, consensus=True)
+    assert max(fracs) == 0.0  # never triggered
+    # Identical trajectory (the refit branch never ran).
+    np.testing.assert_allclose(ate_on, ate_off, atol=1e-6)
