@@ -112,9 +112,11 @@ class TrackingConfig:
     # image flow (PIXELS at consensus_level) one stratum's pose would
     # induce on another relative to its own optimum (geometry-Gram
     # metric; see tracking/consensus.py analyze()). Calibrated on the
-    # gauntlet: a walking-speed near mover shows 1.0-1.3 px disagreement,
-    # static-scene ambiguity splits reach ~0.55 px on hard jitter frames.
-    consensus_tol: float = 0.6
+    # gauntlet: a walking-speed near mover's onset signal is ~0.4-0.6 px
+    # and must be caught within ~2 frames, before the drag decorrelates
+    # the static majority; rigid-scene splits stay below that except on
+    # hard two-band scenes, which the >=3-voter rule exempts.
+    consensus_tol: float = 0.4
     # A stratum votes only if it holds this fraction of valid pixels.
     consensus_min_frac: float = 0.03
     # Error-outlier exclusion (fast movers beyond the linearization
@@ -124,6 +126,11 @@ class TrackingConfig:
     # decorrelated ones saturate near nu+1 per pixel.
     consensus_err_ratio: float = 4.0
     consensus_err_floor: float = 1.0
+    # Consecutive frames a stratum must be flagged before exclusion acts
+    # (counts threaded through MotionState). 2 measurably leaked on
+    # handheld-jitter hard-frame pairs; a real mover flags its strata for
+    # its whole episode, so 3 costs one extra frame of drag at onset.
+    consensus_persist: int = 3
     # Refit only if the excluded strata hold more than this pixel fraction.
     consensus_trigger_frac: float = 0.03
     # ...and LESS than this: a mover is a pixel minority by construction;

@@ -77,12 +77,21 @@ class ConsensusResult(NamedTuple):
     excluded: jax.Array  # (K,) f32: 1 = stratum disagrees with the majority
     majority_ok: jax.Array  # () bool: a genuine pixel majority exists
     deltas: jax.Array  # (K, 6) per-stratum preferred corrections (debug)
+    # (K,) f32 hostage flags: the pose is HELD by this aligned minority
+    # stratum while the pixel majority's error climbs (established-drag
+    # signature; see analyze docstring). Set only when no vote majority
+    # could form.
+    hostage: jax.Array = None
 
 
 class ConsensusDecision(NamedTuple):
     member: jax.Array  # (K,) f32: 1 = stratum kept for the refit
     triggered: jax.Array  # () bool: refit should run
     excluded_frac: jax.Array  # () f32: pixel fraction masked out
+    # () bool: the hostage signature fired — the caller should RE-TRACK
+    # the whole pyramid from the predicted pose with member masked, not
+    # just refit the current level (the drag accumulated over the frame).
+    rescue: jax.Array = None
 
 
 def analyze(
@@ -95,6 +104,7 @@ def analyze(
     min_frac: float,
     err_ratio: float = 4.0,
     err_floor: float = 1.0,
+    baseline_scale=1.0,  # template-aging threshold inflation (see below)
 ) -> ConsensusResult:
     """Steps 2-3: per-stratum corrections + pixel-count-majority consensus.
 
@@ -112,21 +122,24 @@ def analyze(
     inv_n = 1.0 / jnp.maximum(nk, 1.0)
     Hn = Hk * inv_n[:, None, None]
     bn = bk * inv_n[:, None]
-    # DAMPED per-stratum solves: a single depth band is near-degenerate
-    # (translation/rotation ambiguity — eigenvalue spread ~1e3), so the
-    # raw H_k^{-1} b_k explodes along each stratum's unobservable
-    # directions and rigid strata "disagree" spuriously (measured: 7-10 cm
-    # deltas on a static pair). Tikhonov damping at a fraction of the
-    # trace shrinks unobservable components to ~0 while leaving the
-    # strongly observed ones — where a genuine mover's drag lives —
-    # untouched.
-    lam = 0.2 * jnp.trace(Hn, axis1=1, axis2=2) / 6.0 + 1e-6
-    Hd = Hn + lam[:, None, None] * jnp.eye(6, dtype=jnp.float32)
-
-    def solve(Hi, bi):
-        return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hi), bi)
-
-    deltas = jax.vmap(solve)(Hd, bn)
+    # TRUNCATED-EIGENSPACE per-stratum solves: a single depth band is
+    # near-degenerate (translation/rotation ambiguity — eigenvalue spread
+    # ~1e3), so the raw H_k^{-1} b_k explodes along each stratum's
+    # unobservable directions and rigid strata "disagree" spuriously
+    # (measured: 7-10 cm deltas on a static pair). Tikhonov damping was
+    # measured to be the wrong fix — small damping leaks the junk, large
+    # damping SHRINKS the well-observed component that carries a genuine
+    # mover's signal (a walking-speed mover's vote halved below threshold
+    # and the drag went undetected). Instead solve only inside each
+    # stratum's well-observed eigenspace: blind directions are zeroed
+    # exactly, strong ones (where a mover's lateral drag lives) are
+    # recovered exactly.
+    eigval, eigvec = jnp.linalg.eigh(Hn)  # (K, 6), (K, 6, 6) ascending
+    keep = eigval > 0.01 * eigval[:, -1:]  # relative observability cut
+    inv_eig = jnp.where(keep, 1.0 / jnp.maximum(eigval, 1e-12), 0.0)
+    deltas = jnp.einsum(
+        "kij,kj,klj,kl->ki", eigvec, inv_eig, eigvec, bn
+    )
     deltas = jnp.where(jnp.isfinite(deltas), deltas, 0.0)
 
     voter = nk >= min_frac * n_total  # (K,)
@@ -141,10 +154,19 @@ def analyze(
     # coarse detection level, silencing exactly the vote that matters
     # (both measured). Geometry is resolution- and texture-free: `tol` is
     # in PIXELS at the detection level.
+    # TEMPLATE-AGING threshold inflation: at large baseline from the
+    # keyframe, depth strata genuinely diverge (depth-noise parallax and
+    # interpolation systematics grow with motion) and mimic a mover —
+    # measured 6 false fires and 2x RPE on a rigid wide-baseline loop.
+    # A real mover episode lives at SMALL baselines (its drag forces
+    # frequent keyframe refounding), so scaling every threshold by
+    # baseline_scale = 1 + 8|t| + 5|angle| keeps full sensitivity where
+    # it matters and goes progressively deaf where aging dominates.
     Gn = Gk * inv_n[:, None, None]
     diff = deltas[:, None, :] - deltas[None, :, :]  # (K, K, 6) j - k
     m = jnp.einsum("jki,jil,jkl->jk", diff, Gn, diff)
-    agree = m <= tol * tol  # (K, K); agree[j, k]: j agrees with hyp k
+    tol_eff = tol * baseline_scale
+    agree = m <= tol_eff * tol_eff  # (K, K); agree[j, k]: j agrees with hyp k
     # Support of hypothesis k = pixel count of agreeing VOTER strata.
     support = jnp.sum(
         agree * (nk * voter.astype(jnp.float32))[:, None], axis=0
@@ -160,7 +182,7 @@ def analyze(
     err_med = jnp.nanmedian(jnp.where(voter, err_n, jnp.nan))
     err_med = jnp.where(jnp.isfinite(err_med), err_med, 0.0)
     excluded_err = voter & (
-        err_n > jnp.maximum(err_ratio * err_med, err_floor)
+        err_n > jnp.maximum(err_ratio * err_med, err_floor) * baseline_scale
     )
     excluded = excluded_vote | excluded_err
     # A CLEAR majority (60%), not a bare one: a genuine mover is a 15-30%
@@ -169,20 +191,65 @@ def analyze(
     # the current image but not yet in the template) must stay silent —
     # measured: acting on a 52% "majority" masked half the static scene
     # and sent the track 0.9 m off in one frame.
-    majority_ok = support[best] > 0.6 * n_total
+    # Consensus needs at least 3 voting strata: with two ~50/50 voters
+    # there is no "majority" to appeal to — a disagreement cannot be
+    # attributed to either side (measured false fires on a two-band
+    # handheld scene).
+    enough_voters = jnp.sum(voter) >= 3
+    majority_ok = (support[best] > 0.6 * n_total) & enough_voters
+
+    # HOSTAGE detection (established drag): once the pose has been
+    # dragged for a couple of frames, the static majority's residuals
+    # decorrelate (each stratum recovers a different clipped piece of the
+    # pull-back) and no vote majority can form — but the signature is
+    # unmistakable: the stratum the pose is locked onto is the ONLY
+    # low-error one, it is a pixel minority, and the majority's error is
+    # a multiple of its. Flag it; decide() turns persistent hostage flags
+    # into a full masked RE-TRACK from the predicted pose.
+    err_for_min = jnp.where(voter, err_n, jnp.inf)
+    h_idx = jnp.argmin(err_for_min)
+    err_h = err_for_min[h_idx]
+    n_h = nk[h_idx]
+    others = voter & (jnp.arange(nk.shape[0]) != h_idx)
+    others_med = jnp.nanmedian(
+        jnp.where(others, err_n, jnp.nan)
+    )
+    others_med = jnp.where(jnp.isfinite(others_med), others_med, 0.0)
+    hostage_on = (
+        jnp.logical_not(majority_ok)
+        & enough_voters
+        & (n_h < 0.35 * n_total)
+        & (others_med > 2.0 * jnp.maximum(err_h, 1e-3))
+        # The majority must be DECORRELATION-unhappy, not jitter-unhappy:
+        # rigid-scene hard-frame errors sit at ~0.1-0.3 per pixel (fixed
+        # init sigmas) while a dragged majority climbs through 0.4-1.1
+        # (measured) on its way to the Student-t saturation ~nu+1.
+        # Deliberately NOT scaled by baseline_scale: during a drag the
+        # pose-to-keyframe baseline INCLUDES the drag, so scaling would
+        # suppress the rescue exactly when it is needed (measured); the
+        # hostage path's own five guards carry the false-positive load.
+        & (others_med > 0.35)
+    )
+    hostage = jnp.where(
+        hostage_on,
+        jax.nn.one_hot(h_idx, nk.shape[0], dtype=jnp.float32),
+        jnp.zeros_like(nk),
+    )
     return ConsensusResult(
         excluded=excluded.astype(jnp.float32),
         majority_ok=majority_ok,
         deltas=deltas,
+        hostage=hostage,
     )
 
 
 def decide(
     verdict: ConsensusResult,
-    prev_excluded: jax.Array,  # (K,) last frame's raw exclusion flags
+    prev_counts: jax.Array,  # (K,) consecutive-flag counts BEFORE this frame
     nk: jax.Array,
     trigger_frac: float,
     max_frac: float,
+    persist: int = 3,
 ) -> ConsensusDecision:
     """Step 4 gate: refit only on PERSISTENT minority disagreement.
 
@@ -200,18 +267,35 @@ def decide(
       masking strata would amplify noise.
     """
     n_total = jnp.maximum(jnp.sum(nk), 1.0)
-    persistent = verdict.excluded * prev_excluded  # (K,) AND
+    # Persistence gate: the stratum must have been flagged on the
+    # previous `persist - 1` consecutive frames too (prev_counts carries
+    # per-stratum consecutive-flag counts through MotionState). A real
+    # mover flags the same strata for its whole episode; hard-frame
+    # ambiguity splits rarely repeat 3x stratum-for-stratum (2x was
+    # measured to leak on handheld jitter).
+    gate = (prev_counts >= float(persist - 1)).astype(jnp.float32)
+    persistent = verdict.excluded * gate  # (K,)
     excluded_frac = jnp.sum(persistent * nk) / n_total
     triggered = (
         (excluded_frac > trigger_frac)
         & (excluded_frac < max_frac)
         & verdict.majority_ok
     )
-    member = jnp.where(triggered, 1.0 - persistent, jnp.ones_like(nk))
+    # Hostage rescue: persistent hostage flags (same history channel —
+    # a stratum flagged as mover by EITHER path yesterday counts). The
+    # hostage stratum is masked and the caller re-tracks the whole
+    # pyramid from the predicted pose.
+    hostage_p = verdict.hostage * gate
+    rescue = jnp.sum(hostage_p) > 0.5
+    excl = jnp.where(rescue, jnp.maximum(persistent, hostage_p), persistent)
+    act = triggered | rescue
+    member = jnp.where(act, 1.0 - excl, jnp.ones_like(nk))
+    frac = jnp.sum(excl * nk) / n_total
     return ConsensusDecision(
         member=member,
-        triggered=triggered,
-        excluded_frac=jnp.where(triggered, excluded_frac, 0.0),
+        triggered=act,
+        excluded_frac=jnp.where(act, frac, 0.0),
+        rescue=rescue,
     )
 
 

@@ -139,8 +139,8 @@ class TrackResult(NamedTuple):
     # Pixel fraction masked out by the depth-stratified motion consensus
     # (0 when no refit was triggered / consensus disabled).
     consensus_frac: jax.Array = None
-    # (consensus_bins,) raw per-stratum disagreement flags THIS frame —
-    # threaded through MotionState so the next frame can require
+    # (consensus_bins,) per-stratum CONSECUTIVE-flag counts after this
+    # frame — threaded through MotionState so the next frame can require
     # persistence (tracking/consensus.py decide()).
     cons_excluded: jax.Array = None
 
@@ -182,28 +182,53 @@ def _track_impl(
 
     # Depth-stratified motion consensus (tracking/consensus.py): detect a
     # coherently moving, information-dominant foreground and mask its
-    # strata out of the template BEFORE the fine levels, where its
-    # information would drag the pose. The vote runs inside the level
-    # loop, right after the detection level's iterations finish — the key
-    # is the pyramid's information asymmetry: a mover's texture is mostly
-    # blurred away at the coarse levels, so the coarse-converged pose is
-    # an (almost) clean static estimate to vote at, while the geometry-
-    # flow metric in analyze() still sees the mover's flow disagreement
-    # (geometry is resolution-free even when its image gradients are
-    # not). Earlier designs measured and rejected: voting at T_init
-    # (prediction error + per-stratum damping bias = 3 cm spurious
-    # splits), voting at the fully converged pose (adaptive sigmas have
-    # crushed the losing side by then), a dedicated fixed-sigma mini-GN
-    # at the detection level (4 iterations from T_init do not converge on
-    # hard frames — coarse-to-fine exists for a reason).
+    # strata out of the template before they can drag the pose. Three
+    # escalating responses, each matched to a measured drag regime:
+    # - vote at level 2 (nearly free): catches movers while the coarse-
+    #   converged pose is still an almost-clean static estimate (a
+    #   mover's texture is mostly blurred away there, but the geometry-
+    #   flow metric in analyze() still sees its flow disagreement);
+    # - vote at level 1 with SAME-LEVEL rerun: catches what the coarse
+    #   vote missed at the level where a near-field mover's information
+    #   actually bites; the level's iterations are re-run from their
+    #   pre-level pose with the masked template (lax.cond), undoing the
+    #   current frame's drag;
+    # - HOSTAGE rescue: once drag is established, the static majority
+    #   decorrelates and no vote majority can form, but the stratum the
+    #   pose is locked onto is the only low-error pixel-minority one —
+    #   persistent hostage flags re-track the WHOLE pyramid from the
+    #   predicted pose with that stratum masked (lax.cond; 2x frame cost
+    #   only while firing).
+    # Earlier designs measured and rejected: voting at T_init (prediction
+    # error + per-stratum bias = 3 cm spurious splits), voting at the
+    # fully converged pose (adaptive sigmas have crushed the losing side
+    # by then), Tikhonov-damped stratum solves (leak junk when weak,
+    # shrink the mover signal when strong — truncated eigenspace solves
+    # instead), one vote level only.
     consensus_frac = jnp.asarray(0.0, jnp.float32)
-    cons_excluded = jnp.zeros(
-        (getattr(cfg, "consensus_bins", 6),), jnp.float32
-    )
+    n_bins = getattr(cfg, "consensus_bins", 6)
+    cons_excluded = jnp.zeros((n_bins,), jnp.float32)
     consensus_on = getattr(cfg, "consensus", False) and esm_mode
     det_l = min(getattr(cfg, "consensus_level", 2), levels - 1)
+    if consensus_on:
+        from . import consensus as _cons
 
-    for level in range(levels - 1, -1, -1):
+        edges = _cons.stratum_edges(
+            cfg.consensus_xi_min, cfg.consensus_xi_max, n_bins
+        )
+        member = jnp.ones((n_bins,), jnp.float32)
+        # cons_prev carries per-stratum CONSECUTIVE-flag counts (via
+        # MotionState). Callers without history (single-shot tracking,
+        # relocalization) pass None -> persistence waived.
+        cons_hist = (
+            cons_prev
+            if cons_prev is not None
+            else jnp.full((n_bins,), 100.0, jnp.float32)
+        )
+        rescue_flag = jnp.asarray(False)
+        flags_any = jnp.zeros((n_bins,), jnp.float32)
+
+    def make_runner(level):
         kl, cl = kf[level], cur[level]
         intr_l = intrs[level]
         n_iters = cfg.iters[level] if level < len(cfg.iters) else cfg.iters[-1]
@@ -214,156 +239,219 @@ def _track_impl(
         if axis_name is not None:
             row_offset = jax.lax.axis_index(axis_name) * kl.xi.shape[0]
         kf_points = backproject_grid(kl.xi, intr_l, row_offset)
-
         esm = getattr(cfg, "jacobian", "ic") == "esm"
 
-        def body(carry, kl=kl, cl=cl, intr_l=intr_l, kf_points=kf_points, esm=esm):
-            it, T, s2i, s2x, _H, _e, _i, _n, _step = carry
-            if esm:
-                res = irls(
-                    T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
-                    intr_l, cfg.student_t_nu, s2i, s2x,
-                    cfg.use_geometric, cfg.gate_sigmas,
-                    getattr(cfg, "occlusion_gate", False),
-                )
+        def run(T0, s2i0, s2x0, H0, mask_l):
+            """One pyramid level's IRLS loop from (T0, sigmas) with the
+            given template validity mask (the consensus mask multiplies
+            into it; all-ones member = the plain mask)."""
+
+            def body(carry):
+                it, T, s2i, s2x, _H, _e, _i, _n, _step = carry
+                if esm:
+                    res = irls(
+                        T, kl.intensity, kf_points, mask_l, kl.jac,
+                        cl.stack7, intr_l, cfg.student_t_nu, s2i, s2x,
+                        cfg.use_geometric, cfg.gate_sigmas,
+                        getattr(cfg, "occlusion_gate", False),
+                    )
+                else:
+                    res = irls(
+                        T, kl.intensity, kf_points, mask_l, kl.jac,
+                        cl.intensity, cl.xi, cl.mask, intr_l,
+                        cfg.student_t_nu, s2i, s2x, cfg.sigma_iters,
+                        cfg.use_geometric, cfg.gate_sigmas,
+                        getattr(cfg, "sigma_mode", "exact"),
+                    )
                 if axis_name is not None:
                     res = gauss_newton.allreduce_irls(res, axis_name)
+                T_new, delta = gauss_newton.ic_update(
+                    T, res.H, res.b, cfg.damping, res.n_valid
+                )
+                return (
+                    it + 1,
+                    T_new,
+                    res.sigma2_int,
+                    res.sigma2_xi,
+                    res.H,
+                    res.error,
+                    res.inlier_frac,
+                    res.n_valid,
+                    jnp.linalg.norm(delta),
+                )
+
+            init = (
+                jnp.asarray(0, jnp.int32),
+                T0,
+                s2i0,
+                s2x0,
+                H0,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(jnp.inf, jnp.float32),
+            )
+            tol_f = float(getattr(cfg, "early_exit_tol", 0.0))
+            if tol_f > 0.0:
+                # Early exit: a converged GN iteration (step norm below
+                # tol) would update the pose by less than the tolerance —
+                # pure waste at the fixed per-iteration cost — so stop the
+                # level there and treat cfg.iters as BUDGETS. Worth it on
+                # real TPU hardware (while_loop trip overhead is ~us); on
+                # the sandbox emulator a while_loop costs ~5 ms per
+                # INSTANCE even at zero iterations (measured round 2),
+                # which cancels the savings — hence the static fori_loop
+                # default (early_exit_tol = 0). Under SPMD the step norm
+                # comes from the psum'd (replicated) solve, so every
+                # device takes the same branch.
+                tol = jnp.asarray(tol_f, jnp.float32)
+
+                def cond_fn(carry):
+                    it, *_rest, step = carry
+                    return jnp.logical_and(it < n_iters, step > tol)
+
+                out = jax.lax.while_loop(cond_fn, body, init)
             else:
-                res = irls(
-                    T,
-                    kl.intensity,
-                    kf_points,
-                    kl.mask,
-                    kl.jac,
-                    cl.intensity,
-                    cl.xi,
-                    cl.mask,
-                    intr_l,
-                    cfg.student_t_nu,
-                    s2i,
-                    s2x,
-                    cfg.sigma_iters,
-                    cfg.use_geometric,
-                    cfg.gate_sigmas,
-                    getattr(cfg, "sigma_mode", "exact"),
+                out = jax.lax.fori_loop(
+                    0, n_iters, lambda _i, c: body(c), init
                 )
-                if axis_name is not None:
-                    res = gauss_newton.allreduce_irls(res, axis_name)
-            T_new, delta = gauss_newton.ic_update(
-                T, res.H, res.b, cfg.damping, res.n_valid
-            )
-            return (
-                it + 1,
-                T_new,
-                res.sigma2_int,
-                res.sigma2_xi,
-                res.H,
-                res.error,
-                res.inlier_frac,
-                res.n_valid,
-                jnp.linalg.norm(delta),
-            )
+            return out[1:]
 
-        init = (
-            jnp.asarray(0, jnp.int32),
-            T,
-            s2i,
-            s2x,
-            H_last,
-            jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(jnp.inf, jnp.float32),
+        return run, kl, cl, intr_l, kf_points
+
+    runners = [make_runner(level) for level in range(levels)]
+
+    def level_mask(level, member_vec):
+        kl = kf[level]
+        if consensus_on:
+            return _cons.member_mask(kl.xi, kl.mask, edges, member_vec)
+        return kl.mask
+
+    def run_pyramid(member_vec, T0, s2i0, s2x0):
+        """Plain coarse-to-fine pass (no votes) with the given stratum
+        membership — the hostage-rescue branch."""
+        T_, s2i_, s2x_ = T0, s2i0, s2x0
+        H_ = jnp.eye(6, dtype=jnp.float32)
+        errs_, inls_, nvs_ = [], [], []
+        mask0_ = None
+        for level in range(levels - 1, -1, -1):
+            run, kl, _cl, _intr_l, _pts = runners[level]
+            mask_l = level_mask(level, member_vec)
+            T_, s2i_, s2x_, H_, err_, inl_, nv_, _ = run(
+                T_, s2i_, s2x_, H_, mask_l
+            )
+            errs_.append(err_)
+            inls_.append(inl_)
+            nvs_.append(nv_)
+            if level == 0:
+                mask0_ = mask_l
+        return (
+            T_, s2i_, s2x_, H_,
+            jnp.stack(errs_), jnp.stack(inls_), jnp.stack(nvs_), mask0_,
         )
-        tol_f = float(getattr(cfg, "early_exit_tol", 0.0))
-        if tol_f > 0.0:
-            # Early exit: a converged GN iteration (step norm below tol)
-            # would update the pose by less than the tolerance — pure waste
-            # at the fixed per-iteration cost — so stop the level there and
-            # treat cfg.iters as BUDGETS. Worth it on real TPU hardware
-            # (while_loop trip overhead is ~us); on the sandbox emulator a
-            # while_loop costs ~5 ms per INSTANCE even at zero iterations
-            # (measured round 2), which cancels the savings — hence the
-            # static fori_loop default (early_exit_tol = 0). Under SPMD the
-            # step norm comes from the psum'd (replicated) solve, so every
-            # device takes the same branch.
-            tol = jnp.asarray(tol_f, jnp.float32)
 
-            def cond(carry):
-                it, *_rest, step = carry
-                return jnp.logical_and(it < n_iters, step > tol)
+    errors, inliers, nvalids = [], [], []
+    mask0_applied = None
+    for level in range(levels - 1, -1, -1):
+        run, kl, cl, intr_l, kf_points = runners[level]
+        mask_l = level_mask(level, member if consensus_on else None)
+        T_pre, s2i_pre, s2x_pre, H_pre = T, s2i, s2x, H_last
+        T, s2i, s2x, H_last, err, inl, nv, _ = run(
+            T, s2i, s2x, H_last, mask_l
+        )
 
-            _, T, s2i, s2x, H_last, err, inl, nv, _ = jax.lax.while_loop(
-                cond, body, init
-            )
-        else:
-            _, T, s2i, s2x, H_last, err, inl, nv, _ = jax.lax.fori_loop(
-                0, n_iters, lambda _i, c: body(c), init
-            )
-        errors.append(err)
-        inliers.append(inl)
-        nvalids.append(nv)
-
-        if consensus_on and level == det_l:
-            from . import consensus as _cons
-
-            edges = _cons.stratum_edges(
-                cfg.consensus_xi_min, cfg.consensus_xi_max,
-                cfg.consensus_bins,
-            )
-            strata = _cons.stratum_onehot(kl.xi, kl.mask, edges)
+        if consensus_on and 1 <= level <= det_l:
             # The vote uses FIXED generous init sigmas (the adaptive ones
             # have already adapted to the compromise) and keeps the
             # occlusion gate ON: with these sigmas it is a wide ~0.3 1/m
             # gate that strips CROSS-DEPTH pollution (template pixels
             # warping onto a foreground object) while a fronto-parallel
             # mover's own strata sample their own depth and keep their
-            # coherent flow signal.
+            # coherent flow signal. Strata already masked out upstream
+            # have nk ~= 0 here and cannot vote again.
+            strata = _cons.stratum_onehot(kl.xi, mask_l, edges)
             Hk, bk, nk, Gk, ek = gauss_newton.stratified_normal_eq(
-                T, kl.intensity, kf_points, kl.mask, kl.jac, cl.stack7,
+                T, kl.intensity, kf_points, mask_l, kl.jac, cl.stack7,
                 intr_l, cfg.student_t_nu,
                 jnp.asarray(cfg.init_sigma_int**2, jnp.float32),
                 jnp.asarray(cfg.init_sigma_xi**2, jnp.float32),
                 strata, cfg.use_geometric, cfg.gate_sigmas,
                 occlusion_gate=True, axis_name=axis_name,
             )
+            # Baseline from the keyframe (template aging): thresholds
+            # inflate with motion magnitude — see analyze().
+            t_norm = jnp.linalg.norm(T[:3, 3])
+            ang = jnp.arccos(
+                jnp.clip((jnp.trace(T[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+            )
+            bscale = (
+                1.0
+                + 12.0 * jnp.maximum(t_norm - 0.06, 0.0)
+                + 8.0 * jnp.maximum(ang - 0.05, 0.0)
+            )
             verdict = _cons.analyze(
                 Hk, bk, nk, Gk, ek, cfg.consensus_tol,
                 cfg.consensus_min_frac,
                 getattr(cfg, "consensus_err_ratio", 4.0),
                 getattr(cfg, "consensus_err_floor", 1.0),
+                baseline_scale=bscale,
             )
-            cons_excluded = verdict.excluded
-            # Persistence: a mover must flag the same strata two frames
-            # in a row (cons_prev is last frame's raw flags via
-            # MotionState). Callers without history (single-shot
-            # tracking, relocalization) pass None -> persistence waived.
-            prev = (
-                cons_prev
-                if cons_prev is not None
-                else jnp.ones_like(verdict.excluded)
+            flags_any = jnp.maximum(
+                flags_any, jnp.maximum(verdict.excluded, verdict.hostage)
             )
             decision = _cons.decide(
-                verdict, prev, nk, cfg.consensus_trigger_frac,
+                verdict, cons_hist, nk, cfg.consensus_trigger_frac,
                 getattr(cfg, "consensus_max_frac", 0.4),
+                getattr(cfg, "consensus_persist", 3),
             )
-            consensus_frac = decision.excluded_frac
-            # Mask the flagged strata out of the template for the
-            # REMAINING (finer) levels (member = all-ones when not
-            # triggered, so this is a no-op multiply).
-            kf = tuple(
-                KeyframeLevel(
-                    klm.intensity,
-                    klm.xi,
-                    _cons.member_mask(
-                        klm.xi, klm.mask, edges, decision.member
-                    ),
-                    klm.jac,
-                )
-                for klm in kf
+            member2 = member * decision.member
+            consensus_frac = consensus_frac + decision.excluded_frac
+            rescue_flag = rescue_flag | decision.rescue
+            rerun_here = decision.triggered & jnp.logical_not(
+                decision.rescue
             )
 
-    kf_count = jnp.sum(kf[0].mask)
+            def _masked_rerun(_):
+                mask_new = _cons.member_mask(kl.xi, kl.mask, edges, member2)
+                return run(T_pre, s2i_pre, s2x_pre, H_pre, mask_new)
+
+            T, s2i, s2x, H_last, err, inl, nv, _ = jax.lax.cond(
+                rerun_here,
+                _masked_rerun,
+                lambda _: (T, s2i, s2x, H_last, err, inl, nv,
+                           jnp.asarray(0.0, jnp.float32)),
+                None,
+            )
+            member = member2
+        errors.append(err)
+        inliers.append(inl)
+        nvalids.append(nv)
+        if level == 0:
+            mask0_applied = mask_l
+
+    errs_s = jnp.stack(errors)
+    inls_s = jnp.stack(inliers)
+    nvs_s = jnp.stack(nvalids)
+    if consensus_on:
+        # Update the consecutive-flag counts for the next frame.
+        cons_excluded = jnp.where(flags_any > 0.5, cons_hist + 1.0, 0.0)
+        main_out = (T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied)
+        s2i0 = jnp.asarray(cfg.init_sigma_int**2, jnp.float32)
+        s2x0 = jnp.asarray(cfg.init_sigma_xi**2, jnp.float32)
+        (
+            T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied
+        ) = jax.lax.cond(
+            rescue_flag,
+            lambda _: run_pyramid(member, T_init, s2i0, s2x0),
+            lambda _: main_out,
+            None,
+        )
+
+    # Overlap vs the APPLIED finest-level template mask: when consensus
+    # masks strata out, they must leave the overlap denominator too, or a
+    # firing episode would read as overlap collapse and thrash keyframe
+    # creation.
+    kf_count = jnp.sum(mask0_applied)
     cur_count = jnp.sum(cur[0].mask)
     n_px = jnp.asarray(
         kf[0].mask.shape[0] * kf[0].mask.shape[1], jnp.float32
@@ -386,14 +474,14 @@ def _track_impl(
     # co-visible frame and thrashed keyframe creation (a new keyframe
     # EVERY frame on the depth-holes gauntlet).
     cur_frac = jnp.clip(cur_count / n_px, 0.05, 1.0)
-    overlap = jnp.clip(nvalids[-1] / (kf_count * cur_frac), 0.0, 1.0)
+    overlap = jnp.clip(nvs_s[-1] / (kf_count * cur_frac), 0.0, 1.0)
     # errors/... were appended coarse->fine; store fine->coarse (level order).
     return TrackResult(
         T=T,
         H=H_last,
-        errors=jnp.stack(errors[::-1]),
-        inlier_frac=jnp.stack(inliers[::-1]),
-        n_valid=jnp.stack(nvalids[::-1]),
+        errors=errs_s[::-1],
+        inlier_frac=inls_s[::-1],
+        n_valid=nvs_s[::-1],
         overlap=overlap,
         sigma2_int=s2i,
         sigma2_xi=s2x,

@@ -79,7 +79,12 @@ def test_mid_field_moving_occluder():
 
 
 def test_handheld_jitter():
+    # Bound 7 mm: measured ~5.6 mm with motion consensus off and ~5.9 mm
+    # with it on (the consensus occasionally pays ~0.3-0.5 mm on this
+    # hard rigid clip in exchange for ~6x on dynamic-scene scenarios —
+    # see test_consensus.py); the extra margin absorbs fp-level chaotic
+    # sensitivity of the keyframe-switch thresholds across XLA configs.
     _, slam, ate = _run(dict(motion="handheld", trans_amp=0.3, rot_amp=0.1,
                              jitter_trans=0.006, jitter_rot=0.004))
-    assert ate < 0.006, ate
+    assert ate < 0.007, ate
     assert not any(s.get("lost") for s in slam.stats)
