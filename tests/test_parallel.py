@@ -172,3 +172,66 @@ def test_sharded_production_tracker_matches_single_device(esm_pair):
     # And it actually tracked: pose close to ground truth.
     err = np.linalg.norm(np.asarray(r8.T)[:3, 3] - gt_rel[:3, 3])
     assert err < 5e-3, err
+
+
+def test_sharded_consensus_triggers_identically(esm_pair):
+    """The depth-stratified consensus must take the SAME decision under
+    shard_map as on a single device — the stratified reduction psums its
+    (K, 50) statistics, so votes, hostage flags, and the masked re-track
+    all replicate. Exercised on a frame with a synthetic near-field
+    'mover': the current frame's central band is shifted sideways so the
+    corresponding template strata disagree with the pixel majority."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.config import TrackingConfig
+    from rgbid_tpu.parallel import ShardedTracker, make_mesh
+    from rgbid_tpu.tracking.frames import FrameLevel
+    from rgbid_tpu.tracking.tracker import Tracker
+
+    intr, kf, cur, _ = esm_pair
+    # Fabricate coherent foreground motion: roll the central rows of
+    # every current-frame plane sideways by a few pixels at each level.
+    cur2 = []
+    for l, lev in enumerate(cur):
+        h = lev.intensity.shape[0]
+        shift = max(6 >> l, 1)
+        band = slice(h // 3, 2 * h // 3)
+
+        def roll_band(p, band=band, shift=shift):
+            return p.at[..., band, :].set(
+                jnp.roll(p[..., band, :], shift, axis=-1)
+            )
+
+        cur2.append(
+            FrameLevel(
+                intensity=roll_band(lev.intensity),
+                xi=roll_band(lev.xi),
+                mask=roll_band(lev.mask),
+                stack7=roll_band(lev.stack7),
+            )
+        )
+    cur2 = tuple(cur2)
+
+    cfg = TrackingConfig(
+        levels=3, iters=(2, 4, 8), jacobian="esm", kernel="xla",
+        consensus=True, consensus_persist=1,
+    )
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    single = Tracker(intr, cfg)
+    r1 = single.track(kf.levels, cur2, T0)
+    mesh = make_mesh(8, "sp")
+    sharded = ShardedTracker(mesh, intr, cfg)
+    r8 = sharded.track(kf.levels, cur2, T0)
+    np.testing.assert_allclose(np.asarray(r8.T), np.asarray(r1.T), atol=5e-5)
+    np.testing.assert_allclose(
+        float(r8.consensus_frac), float(r1.consensus_frac), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.cons_excluded), np.asarray(r1.cons_excluded), atol=1e-6
+    )
+    # The detection path must actually be exercised: the shifted band's
+    # strata get flagged (nonzero consecutive counts) on BOTH paths.
+    assert np.asarray(r1.cons_excluded).max() > 0
+    assert np.asarray(r8.cons_excluded).max() > 0
