@@ -44,6 +44,7 @@ class LoopCloser:
             branching=b.vocab_branching,
             levels=b.vocab_levels,
             train_after=b.vocab_train_after,
+            vocab_path=getattr(b, "vocab_path", ""),
         )
         self.scorer = RelocScorer(intr, cfg)
         self.n_queries = 0

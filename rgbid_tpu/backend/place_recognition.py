@@ -141,6 +141,29 @@ class HierarchicalVocabulary:
             groups = next_groups
         self.nodes = nodes
 
+    def save(self, path: str) -> None:
+        """Serialize the trained tree (DBoW2's vocabulary-file parity:
+        the reference loads a pretrained vocabulary at startup)."""
+        if not self.trained:
+            raise ValueError("cannot save an untrained vocabulary")
+        arrays = {f"level_{i}": n for i, n in enumerate(self.nodes)}
+        np.savez_compressed(
+            path,
+            branching=np.asarray(self.branching),
+            levels=np.asarray(self.levels),
+            **arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "HierarchicalVocabulary":
+        z = np.load(path)
+        v = cls(branching=int(z["branching"]), levels=int(z["levels"]))
+        v.nodes = [
+            np.ascontiguousarray(z[f"level_{i}"], np.uint8)
+            for i in range(v.levels)
+        ]
+        return v
+
     def assign(self, descs: np.ndarray) -> np.ndarray:
         """Exact word ids: ONE batched Hamming pass over all leaf words."""
         if len(descs) == 0:
@@ -215,6 +238,21 @@ class OnlineVocabulary:
         return ids
 
 
+def resolve_vocab_path(path: str) -> str:
+    """Resolve a vocabulary path; the sentinel "builtin" maps to the
+    packaged vocabulary (rgbid_tpu/data/vocab_b8l3.npz, trained offline
+    on a multi-scene synthetic ORB corpus by backend.build_vocab)."""
+    if path == "builtin":
+        import os
+
+        return os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "vocab_b8l3.npz",
+        )
+    return path
+
+
 class BowDatabase:
     """TF-IDF inverted-index keyframe database with temporal gating.
 
@@ -235,9 +273,20 @@ class BowDatabase:
         branching: int = 8,
         levels: int = 3,
         train_after: int = 3000,
+        vocab_path: str = "",
     ):
         self.flat = OnlineVocabulary(max_words, radius)
-        self.vocab = HierarchicalVocabulary(branching, levels)
+        if vocab_path:
+            # Pretrained vocabulary file (the reference's DBoW2 model:
+            # load at startup, never retrain): quantization is stable
+            # from keyframe 0, no flat-vocabulary cold start, and stored
+            # keyframes never need re-quantization.
+            self.vocab = HierarchicalVocabulary.load(
+                resolve_vocab_path(vocab_path)
+            )
+            train_after = 1 << 62
+        else:
+            self.vocab = HierarchicalVocabulary(branching, levels)
         self.train_after = train_after
         self._next_train = train_after
         self.min_score = min_score

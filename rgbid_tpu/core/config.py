@@ -217,6 +217,12 @@ class BackendConfig:
     vocab_branching: int = 8
     vocab_levels: int = 3
     vocab_train_after: int = 3000
+    # Pretrained vocabulary file (the reference's DBoW2 model: trained
+    # offline, loaded at startup, never retrained). "" = train in-run
+    # (above); "builtin" = the packaged rgbid_tpu/data/vocab_b8l3.npz
+    # (built by backend.build_vocab on a multi-scene synthetic ORB
+    # corpus); any other value = path to a .npz from build_vocab.
+    vocab_path: str = ""
     # Candidate gating.
     min_score: float = 0.12
     min_keyframe_gap: int = 10

@@ -161,3 +161,43 @@ def test_revisit_recall_benchmark():
           f"({hits}/{hits+misses} queries)")
     assert recall >= 0.7, (recall, precision)
     assert precision >= 0.5, (recall, precision)
+
+
+def test_vocabulary_save_load_roundtrip(tmp_path):
+    """Vocabulary-file parity (the reference's pretrained DBoW2 model):
+    save/load must preserve the exact tree and its assignments."""
+    from rgbid_tpu.backend.place_recognition import HierarchicalVocabulary
+
+    rng = np.random.default_rng(11)
+    corpus, _ = _random_descs(3000, rng, clusters=40)
+    v = HierarchicalVocabulary(branching=4, levels=3)
+    v.train(corpus)
+    path = str(tmp_path / "vocab.npz")
+    v.save(path)
+    v2 = HierarchicalVocabulary.load(path)
+    assert v2.branching == 4 and v2.levels == 3 and v2.trained
+    probe, _ = _random_descs(500, rng, clusters=40)
+    np.testing.assert_array_equal(v.assign(probe), v2.assign(probe))
+    np.testing.assert_array_equal(
+        v.assign_hierarchical(probe), v2.assign_hierarchical(probe)
+    )
+
+
+def test_builtin_vocabulary_loads_and_quantizes():
+    """The packaged vocabulary (rgbid_tpu/data/vocab_b8l3.npz, built by
+    backend.build_vocab) must load and give stable quantization from
+    keyframe 0 — no flat cold start, no in-run retraining."""
+    rng = np.random.default_rng(12)
+    db = BowDatabase(min_score=0.0, min_gap=2, vocab_path="builtin")
+    assert db.vocab.trained and db.vocab.num_words == 512
+    d, _ = _random_descs(400, rng, clusters=12)
+    db.insert(0, d)
+    counts0 = dict(db.entries[0])
+    # Insert many more keyframes: a pretrained vocabulary never retrains,
+    # so keyframe 0's quantization must not change.
+    for i in range(1, 12):
+        di, _ = _random_descs(400, rng, clusters=12)
+        db.insert(i, di)
+    assert db.entries[0] == counts0
+    res = db.query(99, d)
+    assert res and res[0][0] == 0
