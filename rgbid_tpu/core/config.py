@@ -64,11 +64,12 @@ class TrackingConfig:
     # mm). Same principle as the reference's fusion occlusion gate,
     # applied to tracking.
     occlusion_gate: bool = True
-    # Affine illumination compensation: estimate gain/bias (I_cur ~= a *
-    # I_kf + b) once per frame from a coarsest-level warp and bake it into
-    # the tracking template. Rescues auto-exposure-like drift (which
-    # violates the brightness constancy the photometric term assumes) for
-    # one extra coarse gather per frame.
+    # Affine illumination compensation (ESM path only; ignored in IC
+    # mode): estimate gain/bias (I_cur ~= a * I_kf + b) once per frame by
+    # alignment-free moment matching and bake it into the tracking
+    # template. Rescues auto-exposure-like drift (which violates the
+    # brightness constancy the photometric term assumes) for two
+    # full-image reductions per frame.
     affine_illumination: bool = True
     # Minimum fraction of keyframe pixels that must warp into the current
     # image with valid samples for the frame to be accepted.
@@ -98,15 +99,18 @@ class TrackingConfig:
     jac_dtype: str = "bf16"
     # Depth-stratified motion consensus (tracking/consensus.py): detects a
     # coherently moving, information-dominant foreground (the documented
-    # breaking point of non-segmenting dense VO, reference included) at
-    # the PREDICTED pose by letting each inverse-depth stratum of the
-    # template vote on the pose with PIXEL-COUNT support, then tracks with
-    # the persistent non-consensus strata masked out of the template.
-    # Costs one fused stratified reduction per frame at consensus_level.
+    # breaking point of non-segmenting dense VO, reference included) by
+    # letting each inverse-depth stratum of the template vote on the pose
+    # with PIXEL-COUNT support after each coarse level converges, then
+    # masks the persistent non-consensus strata out of the template for
+    # the finer levels (hostage episodes re-track the whole pyramid).
+    # Costs one fused stratified reduction per vote level per frame
+    # (~1.6 ms/frame on the sandbox).
     consensus: bool = True
     consensus_bins: int = 6
-    # Detection pyramid level (clamped to levels-1): coarse is cheap and
-    # the drag signal (~cm) is far above coarse-level noise.
+    # COARSEST vote level (clamped to levels-1): votes run after every
+    # level from here down to level 1; coarse votes are cheap, the
+    # level-1 vote catches movers whose information only bites there.
     consensus_level: int = 2
     # Agreement tolerance between stratum hypotheses, measured as the RMS
     # image flow (PIXELS at consensus_level) one stratum's pose would
@@ -138,6 +142,9 @@ class TrackingConfig:
     # dynamics, and masking it amplifies noise (measured).
     consensus_max_frac: float = 0.35
     # Inverse-depth range binned into consensus_bins log-spaced strata.
+    # SlamSystem derives these from (min_depth, max_depth) — out-of-range
+    # pixels are clamped into the edge bins, so the range must span the
+    # sensor's valid depths; the defaults match the default 0.3-10 m.
     consensus_xi_min: float = 0.1
     consensus_xi_max: float = 3.4
     # Per-level early exit: stop a level's IRLS loop once the solved pose

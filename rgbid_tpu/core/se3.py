@@ -114,6 +114,12 @@ def identity(dtype=jnp.float32) -> jax.Array:
     return jnp.eye(4, dtype=dtype)
 
 
+def rotation_angle(R: jax.Array) -> jax.Array:
+    """Rotation angle of a 3x3 rotation matrix (trace formula, clipped)."""
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.arccos(c)
+
+
 def orthonormalize(T: jax.Array, iters: int = 2) -> jax.Array:
     """Project the rotation block back onto SO(3) (Newton polar iteration).
 

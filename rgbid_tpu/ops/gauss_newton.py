@@ -164,7 +164,10 @@ def residuals_and_normal_eq(
 
     if sigma_mode == "exact":
         sigma2_int = student_t_sigma2(r_i * r_i, valid, nu, sigma2_int, sigma_iters)
-        sigma2_xi = student_t_sigma2(r_x * r_x, valid, nu, sigma2_xi, sigma_iters)
+        if use_geometric:
+            sigma2_xi = student_t_sigma2(
+                r_x * r_x, valid, nu, sigma2_xi, sigma_iters
+            )
     w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid / sigma2_int
     w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid / sigma2_xi
 
@@ -183,9 +186,13 @@ def residuals_and_normal_eq(
         wx = w_x.reshape(-1) * inv_n
         H = H + (jx * wx[None, :]) @ jx.T
         b = b + jx @ (wx * r_x.reshape(-1))
-    err = (jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x)) / jnp.maximum(
-        n_valid, 1.0
-    )
+    # The geometric channel contributes to error/sigma only when it
+    # contributes to the solve (a disabled channel's residuals would
+    # otherwise dominate the reported error on bad-depth scenes).
+    err = jnp.sum(w_i * r_i * r_i)
+    if use_geometric:
+        err = err + jnp.sum(w_x * r_x * r_x)
+    err = err / jnp.maximum(n_valid, 1.0)
     inl = jnp.sum(
         valid * (r_i * r_i < gate_sigmas**2 * sigma2_int)
     ) / jnp.maximum(n_valid, 1.0)
@@ -193,48 +200,48 @@ def residuals_and_normal_eq(
         # Emit the updated scale for the NEXT iteration (lagged).
         n1 = jnp.maximum(n_valid, 1.0)
         w0i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int)
-        w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
         sigma2_int = jnp.maximum(jnp.sum(valid * w0i * r_i * r_i) / n1, 1e-12)
-        sigma2_xi = jnp.maximum(jnp.sum(valid * w0x * r_x * r_x) / n1, 1e-12)
+        if use_geometric:
+            w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
+            sigma2_xi = jnp.maximum(
+                jnp.sum(valid * w0x * r_x * r_x) / n1, 1e-12
+            )
     return IrlsResult(H, b, sigma2_int, sigma2_xi, err, n_valid, inl)
 
 
-def esm_residuals_and_normal_eq(
+def _esm_pointwise(
     T: jax.Array,
     kf_int: jax.Array,
     kf_points: tuple,
     kf_mask: jax.Array,
-    kf_grads: jax.Array,  # (4, H, W): gxI, gyI, gxXi, gyXi of the template
-    cur_stack7: jax.Array,  # (7, H, W) I,xi,mask,gxI,gyI,gxXi,gyXi — or (3, H, W) I,xi,mask
+    kf_grads: jax.Array,
+    cur_stack: jax.Array,
     intr: Intrinsics,
     nu: float,
     sigma2_int,
     sigma2_xi,
-    use_geometric: bool = True,
-    gate_sigmas: float = 3.0,
-    occlusion_gate: bool = False,
-) -> IrlsResult:
-    """ESM variant (XLA twin of the Pallas ESM kernel).
+    use_geometric: bool,
+    gate_sigmas: float,
+    occlusion_gate: bool,
+):
+    """Shared per-pixel ESM math: warp, sample, residuals, occlusion
+    gate, Student-t weights, warp/prediction Jacobians, ESM gradient
+    averaging, channel Jacobians. ONE implementation feeds both the
+    per-frame IRLS twin (esm_residuals_and_normal_eq) and the consensus
+    vote's stratified reduction (stratified_normal_eq) — the vote's
+    premise is evaluating the same model as the tracker, and this is the
+    trickiest math in the repo (the exact-jrho fix once had to be applied
+    to hand-synced copies; the Pallas kernel remains the one deliberate
+    twin, pinned by exact-equality tests).
 
-    Jacobians use the AVERAGE of template and warped-current gradients
-    (Efficient Second-order Minimization) dotted with the warp Jacobian
-    recomputed from the precomputed template points — no (12, H, W)
-    Jacobian field exists at all, so keyframe templates carry only 4
-    gradient planes and fusion never rebuilds Jacobians. Convergence per
-    iteration is near-second-order (vs first-order IC), so coarse levels
-    need fewer iterations. Sigma update is lagged (single pass).
-
-    When ``cur_stack7`` has only 3 channels ([I, xi, mask]) the TEMPLATE
-    gradients are used alone (first-order; the fine-level mode of
-    config.TrackingConfig.esm_min_level) — the contract is otherwise
-    identical.
+    Returns (Ji, Jx|None, ju, jv, w_i, w_x, r_i, r_x, valid).
     """
     from .warp import sample_stack7, transform_project
 
-    avg_grads = cur_stack7.shape[0] >= 7
+    avg_grads = cur_stack.shape[0] >= 7
     Px, Py, Pz = kf_points
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
-    samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
+    samples, mask_ok, inb = sample_stack7(cur_stack, up, vp)
     i_s, xi_s = samples[0], samples[1]
     valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
@@ -304,14 +311,55 @@ def esm_residuals_and_normal_eq(
         gy_x_e = 0.5 * (kfg[3] + samples[6])
     else:
         gx_i_e, gy_i_e, gx_x_e, gy_x_e = kfg[0], kfg[1], kfg[2], kfg[3]
+    Ji = [gx_i_e * ju[k] + gy_i_e * jv[k] for k in range(6)]
+    Jx = None
+    if use_geometric:
+        Jx = [gx_x_e * ju[k] + gy_x_e * jv[k] - jrho[k] for k in range(6)]
+    return Ji, Jx, ju, jv, w_i, w_x, r_i, r_x, valid
+
+
+
+def esm_residuals_and_normal_eq(
+    T: jax.Array,
+    kf_int: jax.Array,
+    kf_points: tuple,
+    kf_mask: jax.Array,
+    kf_grads: jax.Array,  # (4, H, W): gxI, gyI, gxXi, gyXi of the template
+    cur_stack7: jax.Array,  # (7, H, W) I,xi,mask,gxI,gyI,gxXi,gyXi — or (3, H, W) I,xi,mask
+    intr: Intrinsics,
+    nu: float,
+    sigma2_int,
+    sigma2_xi,
+    use_geometric: bool = True,
+    gate_sigmas: float = 3.0,
+    occlusion_gate: bool = False,
+) -> IrlsResult:
+    """ESM variant (XLA twin of the Pallas ESM kernel).
+
+    Jacobians use the AVERAGE of template and warped-current gradients
+    (Efficient Second-order Minimization) dotted with the warp Jacobian
+    recomputed from the precomputed template points — no (12, H, W)
+    Jacobian field exists at all, so keyframe templates carry only 4
+    gradient planes and fusion never rebuilds Jacobians. Convergence per
+    iteration is near-second-order (vs first-order IC), so coarse levels
+    need fewer iterations. Sigma update is lagged (single pass).
+
+    When ``cur_stack7`` has only 3 channels ([I, xi, mask]) the TEMPLATE
+    gradients are used alone (first-order; the fine-level mode of
+    config.TrackingConfig.esm_min_level) — the contract is otherwise
+    identical.
+    """
+    (
+        Ji, Jx, _ju, _jv, w_i, w_x, r_i, r_x, valid
+    ) = _esm_pointwise(
+        T, kf_int, kf_points, kf_mask, kf_grads, cur_stack7, intr, nu,
+        sigma2_int, sigma2_xi, use_geometric, gate_sigmas, occlusion_gate,
+    )
 
     n_valid = jnp.sum(valid)
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
-    Ji = [gx_i_e * ju[k] + gy_i_e * jv[k] for k in range(6)]
     H = jnp.zeros((6, 6), jnp.float32)
     b = jnp.zeros((6,), jnp.float32)
-    if use_geometric:
-        Jx = [gx_x_e * ju[k] + gy_x_e * jv[k] - jrho[k] for k in range(6)]
     for a in range(6):
         for c in range(a, 6):
             s = jnp.sum(w_i * Ji[a] * Ji[c]) * inv_n
@@ -324,13 +372,20 @@ def esm_residuals_and_normal_eq(
             sb = sb + jnp.sum(w_x * Jx[a] * r_x) * inv_n
         b = b.at[a].set(sb)
 
-    err = (jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x)) * inv_n
+    # Disabled-channel terms stay out of error/sigma (see the IC twin).
+    err = jnp.sum(w_i * r_i * r_i)
+    if use_geometric:
+        err = err + jnp.sum(w_x * r_x * r_x)
+    err = err * inv_n
     inl = jnp.sum(valid * (r_i * r_i < gate_sigmas**2 * sigma2_int)) * inv_n
     # Lagged sigma update for the next iteration.
     w0i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int)
-    w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
     s2i = jnp.maximum(jnp.sum(valid * w0i * r_i * r_i) * inv_n, 1e-12)
-    s2x = jnp.maximum(jnp.sum(valid * w0x * r_x * r_x) * inv_n, 1e-12)
+    if use_geometric:
+        w0x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi)
+        s2x = jnp.maximum(jnp.sum(valid * w0x * r_x * r_x) * inv_n, 1e-12)
+    else:
+        s2x = sigma2_xi
     return IrlsResult(H, b, s2i, s2x, err, n_valid, inl)
 
 
@@ -363,73 +418,21 @@ def stratified_normal_eq(
     pixel-count majority about the pose. This is the segmentation signal
     the reference (and all non-segmenting dense VO) lacks.
 
-    Math is the template-gradient ESM evaluation (the fine-level mode of
-    esm_residuals_and_normal_eq, including the occlusion gate), reduced
-    PER STRATUM: the 21+6+2 per-pixel quantity planes are flattened into
-    a (29, N) matrix and hit with the (K, N) one-hot stratum matrix — one
-    matmul instead of K full reductions. Returns RAW sums (information
-    matrices, not per-pixel means): (K, 6, 6) H, (K, 6) b, (K,) n.
+    Math mirrors esm_residuals_and_normal_eq at the same level (ESM
+    gradient averaging when the stack has 7 channels, the occlusion
+    gate, exact prediction Jacobian), reduced PER STRATUM: the 21 H +
+    6 b + 1 count + 1 error + 21 geometry-Gram per-pixel quantity planes
+    are flattened into an (N, 50) matrix and hit with the (K, N) one-hot
+    stratum matrix — one matmul instead of K full reductions. Returns
+    RAW sums (information matrices, not per-pixel means): (K, 6, 6) H,
+    (K, 6) b, (K,) n, (K, 6, 6) G, (K,) err.
     """
-    Px, Py, Pz = kf_points
-    from .warp import sample_stack7, transform_project
-
-    up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
-    samples, mask_ok, inb = sample_stack7(cur_stack, up, vp)
-    i_s, xi_s = samples[0], samples[1]
-    valid = kf_mask * front * inb * mask_ok
-    r_i = (i_s - kf_int) * valid
-    r_x = (xi_s - rho) * valid
-    if occlusion_gate and use_geometric:
-        thresh = (2.0 * gate_sigmas) ** 2 * sigma2_xi + 0.05**2
-        w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
-    else:
-        w_gate = 1.0
-    w_i = (nu + 1.0) / (nu + r_i * r_i / sigma2_int) * valid * w_gate / sigma2_int
-    w_x = (nu + 1.0) / (nu + r_x * r_x / sigma2_xi) * valid * w_gate / sigma2_xi
-
-    iz = 1.0 / jnp.maximum(Pz, 1e-6)
-    iz2 = iz * iz
-    ju = (
-        intr.fx * iz,
-        jnp.zeros_like(Px),
-        -intr.fx * Px * iz2,
-        -intr.fx * Px * Py * iz2,
-        intr.fx * (1.0 + Px * Px * iz2),
-        -intr.fx * Py * iz,
+    (
+        Ji, Jx, ju, jv, w_i, w_x, r_i, r_x, valid
+    ) = _esm_pointwise(
+        T, kf_int, kf_points, kf_mask, kf_grads, cur_stack, intr, nu,
+        sigma2_int, sigma2_xi, use_geometric, gate_sigmas, occlusion_gate,
     )
-    jv = (
-        jnp.zeros_like(Px),
-        intr.fy * iz,
-        -intr.fy * Py * iz2,
-        -intr.fy * (1.0 + Py * Py * iz2),
-        intr.fy * Px * Py * iz2,
-        intr.fy * Px * iz,
-    )
-    R = T[:3, :3]
-    rho2 = rho * rho
-    jrho = (
-        -rho2 * R[2, 0],
-        -rho2 * R[2, 1],
-        -rho2 * R[2, 2],
-        -rho2 * (Py * R[2, 2] - Pz * R[2, 1]),
-        -rho2 * (Pz * R[2, 0] - Px * R[2, 2]),
-        -rho2 * (Px * R[2, 1] - Py * R[2, 0]),
-    )
-    kfg = kf_grads.astype(jnp.float32)
-    if cur_stack.shape[0] >= 7:
-        # ESM-averaged gradients (same model as the production kernel at
-        # this level): evaluating the vote with template-only gradients
-        # while the pose converged under averaging injects a per-stratum
-        # systematic bias.
-        g_i_x = 0.5 * (kfg[0] + samples[3])
-        g_i_y = 0.5 * (kfg[1] + samples[4])
-        g_x_x = 0.5 * (kfg[2] + samples[5])
-        g_x_y = 0.5 * (kfg[3] + samples[6])
-    else:
-        g_i_x, g_i_y, g_x_x, g_x_y = kfg[0], kfg[1], kfg[2], kfg[3]
-    Ji = [g_i_x * ju[k] + g_i_y * jv[k] for k in range(6)]
-    if use_geometric:
-        Jx = [g_x_x * ju[k] + g_x_y * jv[k] - jrho[k] for k in range(6)]
 
     cols = []
     idx = []

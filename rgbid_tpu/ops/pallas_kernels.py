@@ -157,8 +157,12 @@ def _normal_kernel(
         if use_geometric:
             s = s + jnp.sum(w_x * J[6 + a] * r_x)
         sums.append(s)
-    # err, inlier count, n_valid.
-    sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))
+    # err, inlier count, n_valid (disabled-channel terms stay out of the
+    # error — mirrors the XLA twin's use_geometric gating).
+    err_sum = jnp.sum(w_i * r_i * r_i)
+    if use_geometric:
+        err_sum = err_sum + jnp.sum(w_x * r_x * r_x)
+    sums.append(err_sum)
     sums.append(jnp.sum(valid * (r_i * r_i < gate2 * s2i)))
     sums.append(jnp.sum(valid))
     # Student-t scale sufficient statistics (for the next iteration's
@@ -253,7 +257,8 @@ def residuals_and_normal_eq_pallas(
             )
             n = jnp.maximum(n, 1.0)
             sigma2_int = jnp.maximum(swi / n, 1e-12)
-            sigma2_xi = jnp.maximum(swx / n, 1e-12)
+            if use_geometric:
+                sigma2_xi = jnp.maximum(swx / n, 1e-12)
 
     H, b, err_sum, inl_sum, n_valid, swi, swx = normal_eq(
         i_s, xi_s, rho, kf_int, valid, jac12, sigma2_int, sigma2_xi,
@@ -262,7 +267,8 @@ def residuals_and_normal_eq_pallas(
     inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
     if sigma_mode != "exact":
         sigma2_int = jnp.maximum(swi * inv_n, 1e-12)
-        sigma2_xi = jnp.maximum(swx * inv_n, 1e-12)
+        if use_geometric:
+            sigma2_xi = jnp.maximum(swx * inv_n, 1e-12)
     return IrlsResult(
         H=H * inv_n,
         b=b * inv_n,
@@ -486,7 +492,12 @@ def _esm_kernel(
         if use_geometric:
             v = v + jnp.sum(w_x * Jx[a] * r_x)
         sums.append(v)
-    sums.append(jnp.sum(w_i * r_i * r_i) + jnp.sum(w_x * r_x * r_x))
+    # Disabled-channel terms stay out of error/sigma (mirrors the XLA
+    # twin's use_geometric gating — tested for exact equality).
+    err_sum = jnp.sum(w_i * r_i * r_i)
+    if use_geometric:
+        err_sum = err_sum + jnp.sum(w_x * r_x * r_x)
+    sums.append(err_sum)
     sums.append(jnp.sum(valid * (r_i * r_i < gate2 * s2i)))
     sums.append(jnp.sum(valid))
     sums.append(jnp.sum(valid * ((nu + 1.0) / (nu + r_i * r_i / s2i)) * r_i * r_i))
@@ -566,7 +577,11 @@ def esm_residuals_and_normal_eq_pallas(
         H=H * inv_n,
         b=b_vec * inv_n,
         sigma2_int=jnp.maximum(out[0, 30] * inv_n, 1e-12),
-        sigma2_xi=jnp.maximum(out[0, 31] * inv_n, 1e-12),
+        # A disabled geometric channel keeps its incoming scale (XLA-twin
+        # semantics).
+        sigma2_xi=jnp.maximum(out[0, 31] * inv_n, 1e-12)
+        if use_geometric
+        else jnp.asarray(sigma2_xi, jnp.float32),
         error=out[0, 27] * inv_n,
         n_valid=n_valid,
         inlier_frac=out[0, 28] * inv_n,

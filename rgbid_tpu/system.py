@@ -43,6 +43,17 @@ class SlamSystem:
     def __init__(self, intr: Intrinsics, config: Optional[SlamConfig] = None):
         self.intr = intr
         self.config = config or SlamConfig()
+        # The consensus depth strata must span the sensor's valid
+        # inverse-depth range: stratum_index clamps out-of-range pixels
+        # into the edge bins, so a mismatched range would let near/far
+        # pixels share (and pollute) an edge stratum's vote. Derive the
+        # bin range from the configured depth limits.
+        self.config = self.config.override(
+            **{
+                "tracking.consensus_xi_min": 1.0 / self.config.max_depth,
+                "tracking.consensus_xi_max": 1.0 / self.config.min_depth,
+            }
+        )
         self._step = ProcessFrame(intr, self.config)
         self.manager = KeyframeManager(
             intr, reloc_level=self.config.backend.reloc_level

@@ -11,28 +11,35 @@ geometrically consistent with any keyframe founded while it is in view).
 
 The consensus mechanism exploits the one structure such an object cannot
 hide: it lives in DIFFERENT DEPTH STRATA than the static background, and
-its strata disagree with the pixel-count majority about the pose.
-Per frame, BEFORE the coarse-to-fine track, at the predicted pose T_init
-(detecting at the converged pose fails — by then the robust weights have
-crushed whichever side lost the compromise; at T_init a mover's stratum
-is SELF-consistent, so uniform weights cancel in H_k^{-1} b_k and nothing
-can hide it):
+its strata disagree with the pixel-count majority about the pose. The
+vote runs INSIDE the coarse-to-fine track, after each of the two coarse
+levels converges (tracker.py) — the pyramid's information asymmetry
+means a mover's texture is mostly blurred away there, so the
+coarse-converged pose is still an almost-clean static estimate, while
+the geometry-flow metric below still sees the mover's flow. Per vote:
 
 1. Bin template pixels into K log-spaced inverse-depth strata and reduce
-   per-stratum normal equations at a coarse level (one fused pass:
-   ops/gauss_newton.stratified_normal_eq; no occlusion gate, generous
-   init sigmas).
-2. Solve each stratum's preferred (trace-damped) pose correction delta_k.
-   The static strata share the prediction error (common mode cancels in
-   pairwise comparison); a mover's strata want the mover's flow on top.
+   per-stratum normal equations, a geometry Gram, and fixed-sigma error
+   sums in one fused pass (ops/gauss_newton.stratified_normal_eq; the
+   wide fixed-sigma occlusion gate stays ON to strip cross-depth
+   pollution without crushing a mover's self-consistent flow signal).
+2. Solve each stratum's preferred pose correction delta_k INSIDE its
+   well-observed eigenspace (blind translation/rotation-ambiguity
+   directions zeroed exactly; Tikhonov damping either leaks their junk
+   or shrinks the mover's signal — both measured).
 3. RANSAC-lite over strata: each well-populated stratum hypothesises its
-   delta_k; support is the PIXEL COUNT (not information!) of strata that
-   agree within a twist tolerance. The pixel-count majority is the
-   static scene precisely because information-dominance is the attack.
-4. decide(): only a PERSISTENT (two consecutive frames), minority-sized
-   disagreement triggers; then the flagged strata are masked out of the
-   tracking template at every level and the track proceeds normally —
-   the pose is never dragged in the first place.
+   delta_k; agreement is the INDUCED IMAGE FLOW (pixels) hypothesis k
+   would impose on stratum j; support is the PIXEL COUNT (not
+   information!) of agreeing strata. The pixel-count majority is the
+   static scene precisely because information dominance is the attack.
+   A stratum can also be excluded by the error-outlier test (fast,
+   basin-escaped movers) or flagged as a HOSTAGE (established drag).
+4. decide(): exclusion acts only on a PERSISTENT (consensus_persist
+   consecutive frames, counts threaded through MotionState),
+   minority-sized disagreement backed by a clear >=60% majority of >=3
+   voters; vote exclusions mask the template for the remaining finer
+   levels (with a same-level rerun from the pre-level pose), hostage
+   flags re-track the whole pyramid from the predicted pose.
 
 Everything runs inside the jitted per-frame program; under SPMD the
 stratified reduction psums and every device takes the same branch.
@@ -159,9 +166,11 @@ def analyze(
     # interpolation systematics grow with motion) and mimic a mover —
     # measured 6 false fires and 2x RPE on a rigid wide-baseline loop.
     # A real mover episode lives at SMALL baselines (its drag forces
-    # frequent keyframe refounding), so scaling every threshold by
-    # baseline_scale = 1 + 8|t| + 5|angle| keeps full sensitivity where
-    # it matters and goes progressively deaf where aging dominates.
+    # frequent keyframe refounding), so scaling the vote/error thresholds
+    # by baseline_scale (1 + 12 max(|t|-0.06, 0) + 8 max(angle-0.05, 0):
+    # dead zone where mover onsets live, steep beyond — tracker.py) keeps
+    # full sensitivity where it matters and goes progressively deaf where
+    # aging dominates.
     Gn = Gk * inv_n[:, None, None]
     diff = deltas[:, None, :] - deltas[None, :, :]  # (K, K, 6) j - k
     m = jnp.einsum("jki,jil,jkl->jk", diff, Gn, diff)

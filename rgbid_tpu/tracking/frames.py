@@ -48,15 +48,18 @@ def preprocess_frame(
     min_depth: float = 0.3,
     max_depth: float = 10.0,
     esm: bool = False,
+    esm_min_level: int = 0,
 ) -> Tuple[FrameLevel, ...]:
     """K1 + K3: raw sensor planes -> intensity/inverse-depth pyramids.
 
     Runs entirely on device from the raw u8/u16 uploads (SURVEY.md §7
-    stance 6: pack uploads raw, convert on device).
+    stance 6: pack uploads raw, convert on device). Pass the config's
+    ``esm_min_level`` to get pyramids structurally identical to the
+    production program's (levels below it carry 3-channel stacks).
     """
     intensity = image.intensity_from_rgb(rgb_u8)
     xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
-    return preprocess_planes(intensity, xi, mask, levels, esm)
+    return preprocess_planes(intensity, xi, mask, levels, esm, esm_min_level)
 
 
 def preprocess_planes(
@@ -98,10 +101,19 @@ def preprocess_planes(
 
 
 def keyframe_pyramid(
-    frame: Tuple[FrameLevel, ...], intr: Intrinsics
+    frame: Tuple[FrameLevel, ...],
+    intr: Intrinsics,
+    jacobian: str = "ic",
+    jac_dtype=jnp.float32,
 ) -> Tuple[KeyframeLevel, ...]:
-    """Promote a frame pyramid to a tracking template: gradients + IC
-    Jacobians per level (runs once per keyframe; K4 + Jacobian precompute).
+    """Promote a frame pyramid to a tracking template (runs once per
+    keyframe; K4 + Jacobian precompute).
+
+    ``jacobian`` selects the template layout and MUST match the tracker
+    config: "ic" stores the (12, H, W) inverse-compositional Jacobian
+    field; "esm" stores the 4 gradient planes the ESM kernels expect
+    (the production path builds these via mapping.keyframe). The
+    historical default stays "ic" — existing callers pinned IC configs.
     """
     out = []
     for l, lev in enumerate(frame):
@@ -109,8 +121,11 @@ def keyframe_pyramid(
         ones = jnp.ones_like(lev.mask)
         gx_i, gy_i = image.gradients(lev.intensity, ones)
         gx_x, gy_x = image.gradients(lev.xi, lev.mask)
-        jac = gauss_newton.template_jacobians(
-            gx_i, gy_i, gx_x, gy_x, lev.xi, lev.mask, intr_l
-        )
+        if jacobian == "esm":
+            jac = jnp.stack([gx_i, gy_i, gx_x, gy_x]).astype(jac_dtype)
+        else:
+            jac = gauss_newton.template_jacobians(
+                gx_i, gy_i, gx_x, gy_x, lev.xi, lev.mask, intr_l, jac_dtype
+            )
         out.append(KeyframeLevel(lev.intensity, lev.xi, lev.mask, jac))
     return tuple(out)

@@ -151,11 +151,6 @@ def unpack_frame(packed_u8):
     return gray, lo | (hi << 8)
 
 
-def _rotation_angle(R: jax.Array) -> jax.Array:
-    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    return jnp.arccos(c)
-
-
 def _process_frame_impl(
     packed_u8: jax.Array,
     kf: DeviceKeyframe,
@@ -196,17 +191,21 @@ def _process_frame_impl(
     )
 
     # Tracking-loss check (the reference's frame rejection, SURVEY.md §5):
-    # too little valid overlap or a non-finite pose -> reject.
+    # too little valid overlap or a non-finite pose -> reject. The
+    # denominator is the APPLIED template mask count from the tracker
+    # (consensus exclusions removed): against the raw keyframe count, a
+    # consensus episode masking 20-35% of the template would read as
+    # loss, and the loss path zeroes the persistence history — disabling
+    # the mover rescue exactly while a mover is active.
     finite = jnp.all(jnp.isfinite(track.T))
-    kf_count = jnp.maximum(jnp.sum(kf.levels[0].mask), 1.0)
     lost = jnp.logical_or(
         jnp.logical_not(finite),
-        track.n_valid[0] < tcfg.min_valid_fraction * kf_count,
+        track.n_valid[0] < tcfg.min_valid_fraction * track.kf_count,
     )
 
     # Keyframe-switch decision (overlap / motion / uncertainty thresholds).
     t_norm = jnp.linalg.norm(track.T[:3, 3])
-    angle = _rotation_angle(track.T[:3, :3])
+    angle = se3.rotation_angle(track.T[:3, :3])
     sigma_t = jnp.sqrt(jnp.maximum(jnp.trace(cov[:3, :3]), 0.0))
     switch = (
         (track.overlap < kcfg.min_overlap)

@@ -25,6 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core import se3
 from ..core.camera import Intrinsics, level_intrinsics
 from ..core.config import TrackingConfig
 from ..ops import gauss_newton
@@ -143,6 +144,12 @@ class TrackResult(NamedTuple):
     # frame — threaded through MotionState so the next frame can require
     # persistence (tracking/consensus.py decide()).
     cons_excluded: jax.Array = None
+    # () valid-pixel count of the APPLIED finest-level template mask
+    # (consensus exclusions removed; psum'd under SPMD). Downstream
+    # validity fractions must use THIS denominator, not the raw keyframe
+    # count — a consensus episode masking 20-35% of the template would
+    # otherwise read as tracking loss.
+    kf_count: jax.Array = None
 
 
 def _track_impl(
@@ -381,9 +388,7 @@ def _track_impl(
             # Baseline from the keyframe (template aging): thresholds
             # inflate with motion magnitude — see analyze().
             t_norm = jnp.linalg.norm(T[:3, 3])
-            ang = jnp.arccos(
-                jnp.clip((jnp.trace(T[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
-            )
+            ang = se3.rotation_angle(T[:3, :3])
             bscale = (
                 1.0
                 + 12.0 * jnp.maximum(t_norm - 0.06, 0.0)
@@ -487,6 +492,7 @@ def _track_impl(
         sigma2_xi=s2x,
         consensus_frac=consensus_frac,
         cons_excluded=cons_excluded,
+        kf_count=kf_count,
     )
 
 
