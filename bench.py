@@ -4,15 +4,24 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the reference's ~30 Hz real-time rate on a consumer GPU
 (BASELINE.md); the north-star target is >=60 fps on one real v5e chip.
 
-Honest-timing protocol for this sandbox (SURVEY.md App. A):
-`block_until_ready()` does NOT synchronize on the axon platform, so each
-frame is timed through the SlamSystem's own host readback of the
-~60-float StepResult (a real data-dependent sync). The sandbox TPU is an
-emulated v5e ~100x slower than hardware (3.5 ms/dispatch, 0.5 GB/s HBM);
-the fps printed here is the sandbox-measured number, not the hardware
-projection.
+The headline runs the FULL system — back end (loop closure thread, BoW,
+pose graph) ON, like the reference's 30 Hz — and reports the MEAN
+ms/frame over the timed span (total wall clock / frames; every flight
+ends in a real data-dependent host readback). The per-flight wall times
+and their median are reported alongside on stderr: frames inside one
+flight share a single host sync, so per-FLIGHT times are the honest
+granularity on this platform (per-frame breakdowns inside a flight would
+be synthetic averages).
 
-Extra context (frame time breakdown, config) goes to stderr only.
+Honest-timing protocol for this sandbox (SURVEY.md App. A):
+`block_until_ready()` does NOT synchronize on the axon platform, so all
+timing is through the SlamSystem's own host readbacks. The sandbox TPU
+is an emulated v5e ~100x slower than hardware (3.5 ms/dispatch,
+0.5 GB/s HBM); the fps printed here is the sandbox-measured number, not
+the hardware projection.
+
+Extra context (flight-time breakdown, a backend-off A/B, config) goes to
+stderr only.
 """
 
 import json
@@ -25,6 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _run(slam, frames, n_warmup):
+    """Feed warmup + timed frames; returns (elapsed_s, flight_ms list)."""
+    slam.feed(frames[:n_warmup])  # warmup (compile + caches)
+    flight_times = []
+    depth = getattr(slam.config, "pipeline_depth", 8)
+    timed = frames[n_warmup:]
+    t0 = time.perf_counter()
+    for i in range(0, len(timed), depth):
+        f0 = time.perf_counter()
+        slam.feed(timed[i : i + depth])
+        flight_times.append((time.perf_counter() - f0) * 1e3)
+    elapsed = time.perf_counter() - t0
+    return elapsed, flight_times
+
+
 def main():
     from rgbid_tpu.core.camera import DEFAULT
     from rgbid_tpu.core.config import SlamConfig
@@ -32,15 +56,16 @@ def main():
     from rgbid_tpu.eval import absolute_trajectory_error
     from rgbid_tpu.system import SlamSystem
 
-    # 24 timed frames = 3 full flights of 8: long enough to average the
-    # emulator's +-30% tenancy noise, aligned to the pipeline depth.
-    # Warmup = bootstrap + one FULL flight of 8 so every compiled program
-    # (per-frame step, flight-stack readback) is cached before timing.
-    n_warmup = int(os.environ.get("BENCH_WARMUP", "9"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    # Timed span = 3 full flights: long enough to average the emulator's
+    # +-30% tenancy noise, aligned to the pipeline depth. Warmup =
+    # bootstrap + one FULL flight so every compiled program (per-frame
+    # step, flight-stack readback) is cached before timing.
+    cfg = SlamConfig()
+    depth = cfg.pipeline_depth
+    n_warmup = int(os.environ.get("BENCH_WARMUP", str(depth + 1)))
+    n_frames = int(os.environ.get("BENCH_FRAMES", str(3 * depth)))
 
     intr = DEFAULT  # 640 x 480
-    cfg = SlamConfig().override(**{"backend.enabled": False})
     print(
         f"bench: rendering {n_warmup + n_frames} VGA frames...", file=sys.stderr
     )
@@ -52,34 +77,48 @@ def main():
         rot_amp=0.04,
         xi_noise_sigma=0.003,
     )
-    slam = SlamSystem(intr, cfg)
-
-    # Pipelined ingestion (the production path): feed() chains
-    # config.pipeline_depth per-frame programs per host sync (on-device
-    # motion model + in-program keyframe switching), so the ~28 ms fixed
-    # readback cost of this platform is paid once per flight. Honest
-    # timing: total wall clock of the timed feed / frames — every flight
-    # ends in a real data-dependent host readback.
     frames = list(seq.frames())
-    slam.feed(frames[:n_warmup])  # warmup (compile + caches)
 
-    t0 = time.perf_counter()
-    slam.feed(frames[n_warmup:])
-    elapsed = time.perf_counter() - t0
+    slam = SlamSystem(intr, cfg)  # backend ON (full system, like the ref)
+    elapsed, flights = _run(slam, frames, n_warmup)
+    slam.finish()
+
     n = len(frames) - n_warmup
-    for s in slam.stats[n_warmup:]:
-        print(f"bench: frame {s['frame']} {s.get('ms', 0):.1f} ms", file=sys.stderr)
-
-    med = elapsed / n
-    fps = 1.0 / med
+    mean_ms = elapsed * 1e3 / n
+    med_flight = float(np.median(flights))
+    med_ms = med_flight / depth
+    for i, ft in enumerate(flights):
+        print(
+            f"bench: flight {i} ({depth} frames) {ft:.1f} ms"
+            f"  ({ft / depth:.1f} ms/frame)",
+            file=sys.stderr,
+        )
     gt0 = np.linalg.inv(seq.gt_poses[0])
     ate = absolute_trajectory_error(
         [gt0 @ T for T in seq.gt_poses], slam.poses()
     )
     print(
-        f"bench: median {med*1000:.1f} ms/frame, ATE {ate['rmse']*1000:.2f} mm",
+        f"bench: backend ON: mean {mean_ms:.1f} ms/frame, "
+        f"median flight {med_flight:.1f} ms ({med_ms:.1f} ms/frame), "
+        f"ATE {ate['rmse'] * 1000:.2f} mm, "
+        f"{len(slam.manager.keyframes)} keyframes",
         file=sys.stderr,
     )
+
+    # A/B: tracker-only variant (what round 1/2 headlined) on stderr.
+    if os.environ.get("BENCH_AB", "1") != "0":
+        slam2 = SlamSystem(intr, cfg.override(**{"backend.enabled": False}))
+        elapsed2, flights2 = _run(slam2, frames, n_warmup)
+        print(
+            f"bench: backend OFF: mean {elapsed2 * 1e3 / n:.1f} ms/frame, "
+            f"median flight {np.median(flights2):.1f} ms "
+            f"({np.median(flights2) / depth:.1f} ms/frame)",
+            file=sys.stderr,
+        )
+
+    # Headline fps from the MEAN (total wall clock — the deployment
+    # number); the median-flight figure above shows the steady state.
+    fps = 1.0 / (mean_ms / 1e3)
     print(
         json.dumps(
             {

@@ -45,6 +45,8 @@ class LoopCloser:
             levels=b.vocab_levels,
             train_after=b.vocab_train_after,
             vocab_path=getattr(b, "vocab_path", ""),
+            tf_mode=getattr(b, "tf_mode", "linear"),
+            rel_score=getattr(b, "rel_score", 0.0),
         )
         self.scorer = RelocScorer(intr, cfg)
         self.n_queries = 0

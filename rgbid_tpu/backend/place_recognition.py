@@ -240,15 +240,18 @@ class OnlineVocabulary:
 
 def resolve_vocab_path(path: str) -> str:
     """Resolve a vocabulary path; the sentinel "builtin" maps to the
-    packaged vocabulary (rgbid_tpu/data/vocab_b8l3.npz, trained offline
-    on a multi-scene synthetic ORB corpus by backend.build_vocab)."""
+    packaged vocabulary (rgbid_tpu/data/vocab_b8l4.npz — 8^4 = 4096
+    words, trained offline by backend.build_vocab on a 48-scene
+    multi-resolution/motion/illumination synthetic ORB corpus; round-3
+    revisit benchmark: recall 1.0, precision 0.92-0.98 with the sqrt-tf
+    + relative-score scoring defaults, vs 0.90 for in-run training)."""
     if path == "builtin":
         import os
 
         return os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "data",
-            "vocab_b8l3.npz",
+            "vocab_b8l4.npz",
         )
     return path
 
@@ -274,6 +277,9 @@ class BowDatabase:
         levels: int = 3,
         train_after: int = 3000,
         vocab_path: str = "",
+        stop_df: float = 1.0,
+        tf_mode: str = "linear",
+        rel_score: float = 0.0,
     ):
         self.flat = OnlineVocabulary(max_words, radius)
         if vocab_path:
@@ -292,6 +298,23 @@ class BowDatabase:
         self.min_score = min_score
         self.min_gap = min_gap
         self.max_candidates = max_candidates
+        # Stop-word gate: words present in more than this fraction of
+        # stored keyframes carry no place information (DBoW2's stop-word
+        # analog on top of TF-IDF) and are dropped from scoring vectors.
+        # Only applied once enough keyframes exist for document
+        # frequencies to be meaningful. 1.0 = off.
+        self.stop_df = stop_df
+        # Term-frequency transform: "linear" (raw counts, DBoW2-style),
+        # "sqrt" (burstiness damping), or "binary" (word presence only).
+        # sqrt measured +3-5 precision points on the revisit benchmark.
+        self.tf_mode = tf_mode
+        # Relative-score gate (DBoW2's normalized-score analog): keep
+        # only candidates scoring at least this fraction of the best
+        # candidate's score. Trailing weak candidates are mostly false
+        # positives; the best match survives by construction. 0 = off.
+        # 0.65 measured +7-8 precision points at unchanged recall; 0.8
+        # started costing recall.
+        self.rel_score = rel_score
         # keyframe id -> sparse word-count dict
         self.entries: Dict[int, Dict[int, int]] = {}
         # keyframe id -> raw descriptors (kept for re-quantization)
@@ -320,7 +343,21 @@ class BowDatabase:
         return float(np.log(n_kf / n_w)) + 1e-3
 
     def _vector(self, counts: Dict[int, int]) -> Dict[int, float]:
-        vec = {w: c * self._idf(w) for w, c in counts.items()}
+        n_kf = len(self.entries)
+        if self.stop_df < 1.0 and n_kf >= 10:
+            cut = self.stop_df * n_kf
+            counts = {
+                w: c
+                for w, c in counts.items()
+                if len(self.inverted.get(w, ())) <= cut
+            }
+        if self.tf_mode == "sqrt":
+            tf = {w: float(np.sqrt(c)) for w, c in counts.items()}
+        elif self.tf_mode == "binary":
+            tf = {w: 1.0 for w in counts}
+        else:
+            tf = counts
+        vec = {w: c * self._idf(w) for w, c in tf.items()}
         norm = np.sqrt(sum(v * v for v in vec.values()))
         if norm > 0:
             vec = {w: v / norm for w, v in vec.items()}
@@ -362,6 +399,9 @@ class BowDatabase:
             if s >= self.min_score:
                 scores.append((cid, float(s)))
         scores.sort(key=lambda t: -t[1])
+        if self.rel_score > 0.0 and scores:
+            cut = self.rel_score * scores[0][1]
+            scores = [t for t in scores if t[1] >= cut]
         return scores[: self.max_candidates]
 
     def insert(self, kf_id: int, desc: np.ndarray) -> None:

@@ -54,6 +54,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--eval", action="store_true", help="print ATE/RPE vs ground truth")
     ap.add_argument("--voxel", type=float, default=0.01, help="map voxel downsample (m)")
+    ap.add_argument(
+        "--map-format", default="ply", choices=["ply", "pcd"],
+        help="map export format (SURVEY.md §2.1: saves PLY/PCD)",
+    )
     ap.add_argument("--viz", action="store_true", help="write trajectory/map PNGs to out-dir")
     ap.add_argument(
         "--live-viz",
@@ -185,7 +189,9 @@ def main(argv=None):
 
     if out_dir:
         slam.save_trajectory(os.path.join(out_dir, "trajectory.txt"))
-        slam.save_map(os.path.join(out_dir, "map.ply"), voxel=args.voxel)
+        slam.save_map(
+            os.path.join(out_dir, f"map.{args.map_format}"), voxel=args.voxel
+        )
         result["out_dir"] = out_dir
         if args.viz:
             from .utils import viz

@@ -147,6 +147,38 @@ class TrackingConfig:
     # sensor's valid depths; the defaults match the default 0.3-10 m.
     consensus_xi_min: float = 0.1
     consensus_xi_max: float = 3.4
+    # "Confidently wrong" divergence machinery (the ballistic-mover
+    # investigation, round 3). Two possible responses were built and
+    # MEASURED per-frame across the gauntlet (signal table in
+    # BASELINE.md):
+    #
+    # 1. divergence_guard — declare the frame LOST (coast + BoW reloc)
+    #    when the pose diverges from the constant-velocity prior while
+    #    consensus stress flags persist. Measured UNSAFE, default off:
+    #    on rigid large_motion the prior diverges 30-55 mm EVERY frame
+    #    (sinusoid prediction error) with sporadic raw flags — the
+    #    identical signature to ballistic drag onset — while the
+    #    ballistic mover's own drag is absorbed into the prior within
+    #    ~2 frames (div drops to 5-15 mm). No threshold separates them;
+    #    any that fires on the mover also coasts rigid frames whose
+    #    prior is 40 mm wrong, which is strictly worse than tracking.
+    divergence_guard: bool = False
+    # 2. div_rescue — on divergence + stress-flag coincidence, RE-TRACK
+    #    the pyramid from the prior with the flagged strata masked (the
+    #    hostage-rescue response on a new trigger). The response is
+    #    asymmetric: harmless on a rigid false positive (masking a
+    #    stratum of a rigid scene re-converges to the same pose, costs
+    #    one extra frame-track) and drag-removing when the flagged
+    #    stratum is a mover. Safe to leave on.
+    div_rescue: bool = True
+    # Divergence thresholds vs the motion prior, per frame. Calibration:
+    # the gauntlet's hardest RIGID direction reversal (large_motion,
+    # 0.55 m amplitude sinusoid) deviates ~0.012 m/frame from constant
+    # velocity at QVGA in theory but measures 30-55 mm against the
+    # CONVERGED pose; the ballistic panel's drag-onset spikes are
+    # 53-67 mm with stress flags raised.
+    div_trans_thresh: float = 0.03  # meters
+    div_rot_thresh: float = 0.04  # radians
     # Per-level early exit: stop a level's IRLS loop once the solved pose
     # step's twist norm (meters + radians) falls below this; cfg.iters then
     # acts as a BUDGET — hard frames spend it all, converged frames skip
@@ -207,6 +239,29 @@ class FusionConfig:
     # seed coarse-to-fine initialization, so a few frames of staleness
     # there does not move the final pose (validated on the endurance clip).
     coarse_rebuild_every: int = 4
+    # K8 validity growth (SURVEY.md §2.2 K8 "update validity & hit
+    # counts", §3.4): frames that observe pixels INVALID in the keyframe
+    # (depth holes at founding) claim them via a forward-splat pass, so
+    # keyframes self-complete like the reference's instead of keeping
+    # their founding holes for life.
+    grow_validity: bool = True
+    # Run the (scatter-based) claim pass every N fused frames: holes do
+    # not need per-frame filling, and the splat is the one fusion stage
+    # whose cost is not elementwise.
+    claim_every: int = 4
+    # Minimum forward-splat support (sum of contributing current-frame
+    # pixels) for an invalid keyframe pixel to be claimed.
+    claim_min_weight: float = 0.999
+    # Claimed pixels start at this variance multiple of the sensor
+    # variance: they are single-look estimates through a rounding splat,
+    # so they must refine (and be confirmed) before being trusted.
+    claim_var_inflation: float = 4.0
+    # Hit-count confirmation threshold: a pixel enters the TRACKING
+    # template and the exported cloud only once its hit count reaches
+    # this. Founding pixels are direct sensor measurements and start
+    # confirmed (hits = confirm_hits); claimed pixels start at 1 and need
+    # confirm_hits - 1 further consistent observations.
+    confirm_hits: float = 2.0
 
 
 @dataclass(frozen=True)
@@ -216,20 +271,27 @@ class BackendConfig:
     enabled: bool = True
     # ORB features per keyframe for place recognition.
     num_features: int = 500
-    # Bag-of-words vocabulary: a branching^levels hierarchical k-medians
-    # tree TRAINED IN-RUN once vocab_train_after descriptors accumulate
-    # (no network -> no pretrained DBoW2 vocabulary file can be shipped;
-    # a flat online-grown vocabulary covers the cold start and stored
-    # keyframes are re-quantized at each (re)train).
+    # Bag-of-words vocabulary tree shape (branching^levels hierarchical
+    # k-medians words). Used when training IN-RUN (vocab_path=""); the
+    # packaged pretrained default below is an 8^4 = 4096-word tree.
     vocab_branching: int = 8
-    vocab_levels: int = 3
+    vocab_levels: int = 4
     vocab_train_after: int = 3000
     # Pretrained vocabulary file (the reference's DBoW2 model: trained
-    # offline, loaded at startup, never retrained). "" = train in-run
-    # (above); "builtin" = the packaged rgbid_tpu/data/vocab_b8l3.npz
-    # (built by backend.build_vocab on a multi-scene synthetic ORB
-    # corpus); any other value = path to a .npz from build_vocab.
-    vocab_path: str = ""
+    # offline, loaded at startup, never retrained). DEFAULT since round
+    # 3: "builtin" = the packaged rgbid_tpu/data/vocab_b8l4.npz (built
+    # by backend.build_vocab on a 48-scene multi-resolution synthetic
+    # ORB corpus; revisit benchmark precision 0.92-0.98 at recall 1.0
+    # with the scoring defaults below — above the 0.90 of in-run
+    # training). "" = train in-run; any other value = path to a .npz
+    # from build_vocab.
+    vocab_path: str = "builtin"
+    # BoW scoring refinements (measured on the disjoint revisit
+    # benchmark, round 3): sqrt term-frequency damps burstiness (+3-5
+    # precision points); the relative-score gate drops candidates below
+    # this fraction of the best score (+7-8 points at recall 1.0).
+    tf_mode: str = "sqrt"
+    rel_score: float = 0.65
     # Candidate gating.
     min_score: float = 0.12
     min_keyframe_gap: int = 10

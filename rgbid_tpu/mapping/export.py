@@ -1,8 +1,8 @@
-"""Map assembly + export: global cloud, PLY writer, TUM trajectory writer.
+"""Map assembly + export: global cloud, PLY/PCD writers, TUM trajectory.
 
 Reference equivalent: map assembly/export component (SURVEY.md §2.1):
-global cloud = union of keyframe clouds; saves PLY; saves trajectory as
-TUM 'timestamp tx ty tz qx qy qz qw'.
+global cloud = union of keyframe clouds; saves PLY/PCD; saves trajectory
+as TUM 'timestamp tx ty tz qx qy qz qw'.
 """
 
 from __future__ import annotations
@@ -85,6 +85,58 @@ def read_ply(path: str) -> np.ndarray:
     out = np.zeros((n, 6), np.float32)
     out[:, 0], out[:, 1], out[:, 2] = rec["x"], rec["y"], rec["z"]
     out[:, 3], out[:, 4], out[:, 5] = rec["r"] / 255.0, rec["g"] / 255.0, rec["b"] / 255.0
+    return out
+
+
+def write_pcd(path: str, cloud_xyzrgb: np.ndarray) -> None:
+    """Binary PCD v0.7 with FIELDS x y z rgb (PCL convention: the three
+    u8 color channels packed into one float32's bit pattern), the format
+    the reference's PCL-based map export produces (SURVEY.md §2.1 map
+    assembly: "saves PLY/PCD")."""
+    n = len(cloud_xyzrgb)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        "FIELDS x y z rgb\n"
+        "SIZE 4 4 4 4\n"
+        "TYPE F F F F\n"
+        "COUNT 1 1 1 1\n"
+        f"WIDTH {n}\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        "DATA binary\n"
+    )
+    rec = np.zeros((n, 4), np.float32)
+    rec[:, :3] = cloud_xyzrgb[:, :3].astype(np.float32)
+    cols = np.clip(cloud_xyzrgb[:, 3:6] * 255.0, 0, 255).astype(np.uint32)
+    packed = (cols[:, 0] << 16) | (cols[:, 1] << 8) | cols[:, 2]
+    rec[:, 3] = packed.view(np.float32)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(np.ascontiguousarray(rec).tobytes())
+
+
+def read_pcd(path: str) -> np.ndarray:
+    """Read back a binary x/y/z/rgb PCD (write_pcd round-trip + PCL files
+    with the same layout) -> (N, 6) xyz + rgb-in-[0,1] float32."""
+    with open(path, "rb") as f:
+        n = None
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            if line.startswith("POINTS"):
+                n = int(line.split()[1])
+            if line.startswith("DATA"):
+                if line.split()[1] != "binary":
+                    raise ValueError("only DATA binary PCD supported")
+                break
+        rec = np.frombuffer(f.read(16 * n), dtype=np.float32).reshape(n, 4)
+    out = np.zeros((n, 6), np.float32)
+    out[:, :3] = rec[:, :3]
+    packed = rec[:, 3].copy().view(np.uint32)
+    out[:, 3] = ((packed >> 16) & 0xFF) / 255.0
+    out[:, 4] = ((packed >> 8) & 0xFF) / 255.0
+    out[:, 5] = (packed & 0xFF) / 255.0
     return out
 
 

@@ -23,13 +23,26 @@ from ..tracking.frames import FrameLevel, KeyframeLevel
 
 
 class DeviceKeyframe(NamedTuple):
-    """Device-resident keyframe state (a pytree; fixed shapes)."""
+    """Device-resident keyframe state (a pytree; fixed shapes).
+
+    The template levels carry the CONFIRMED mask (hits >= confirm_hits —
+    what tracking and cloud extraction may trust); ``mask_full`` is the
+    superset of every pixel with a depth estimate, including provisional
+    claims from the validity-growth pass, and is what fusion refines
+    (SURVEY.md §2.2 K8 "update validity & hit counts")."""
 
     levels: Tuple[KeyframeLevel, ...]  # tracking template (I, xi, mask, J)
     var: jax.Array  # (H, W) per-pixel inverse-depth variance at level 0
     # Number of frames fused into this keyframe so far (drives the
     # amortized coarse-level template rebuild schedule).
     fused_count: jax.Array = None  # () int32
+    # (H, W) per-pixel observation-support counts. Founding pixels are
+    # direct sensor measurements and start at confirm_hits (trusted,
+    # like the reference); claimed hole-fill pixels start at 1 and each
+    # successful fuse adds 1.
+    hits: jax.Array = None
+    # (H, W) full estimate-validity mask (confirmed + provisional).
+    mask_full: jax.Array = None
 
 
 def _template_levels(
@@ -69,8 +82,14 @@ def create_device_keyframe(
     var0 = jnp.where(
         frame[0].mask > 0, cfg.sensor_sigma_xi**2, cfg.max_variance
     ).astype(jnp.float32)
+    confirm = float(getattr(cfg, "confirm_hits", 2.0))
+    mask0 = frame[0].mask.astype(jnp.float32)
     return DeviceKeyframe(
-        levels=levels, var=var0, fused_count=jnp.asarray(0, jnp.int32)
+        levels=levels,
+        var=var0,
+        fused_count=jnp.asarray(0, jnp.int32),
+        hits=confirm * mask0,
+        mask_full=mask0,
     )
 
 
@@ -112,8 +131,15 @@ def rebuild_after_fusion(
     jac_dtype=jnp.float32,
     jacobian: str = "ic",
     coarse_every: int = 1,
+    hits: jax.Array | None = None,
+    confirm_hits: float = 2.0,
 ) -> DeviceKeyframe:
     """Rebuild the tracking template from the fused level-0 inverse depth.
+
+    ``mask0`` is the FULL estimate mask (confirmed + provisional claims);
+    when ``hits`` is given, the template the tracker sees is gated to
+    CONFIRMED pixels only (hits >= confirm_hits) — a freshly claimed
+    hole-fill pixel must be re-observed before tracking trusts it.
 
     The intensity pyramid is untouched (fusion refines depth only, like the
     reference). The finest level is refreshed EVERY fused frame (it sets
@@ -125,13 +151,21 @@ def rebuild_after_fusion(
     """
     levels = len(kf.levels)
     count = kf.fused_count + 1
-    new0 = _rebuild_level0(kf.levels[0], xi0, mask0, intr, jac_dtype, jacobian)
+    if hits is not None:
+        tmask = mask0 * (hits >= confirm_hits).astype(jnp.float32)
+    else:
+        tmask = mask0
+        hits = kf.hits
+    new0 = _rebuild_level0(kf.levels[0], xi0, tmask, intr, jac_dtype, jacobian)
     if levels == 1:
-        return DeviceKeyframe(levels=(new0,), var=var0, fused_count=count)
+        return DeviceKeyframe(
+            levels=(new0,), var=var0, fused_count=count,
+            hits=hits, mask_full=mask0,
+        )
 
     def full_coarse(_):
         int_pyr = [l.intensity for l in kf.levels]
-        xi_pyr, mask_pyr = image.build_pyramid(xi0, mask0, levels)
+        xi_pyr, mask_pyr = image.build_pyramid(xi0, tmask, levels)
         return tuple(
             _template_levels(int_pyr, xi_pyr, mask_pyr, intr, jac_dtype, jacobian)[1:]
         )
@@ -145,7 +179,10 @@ def rebuild_after_fusion(
         coarse = jax.lax.cond(
             count % coarse_every == 0, full_coarse, keep_coarse, None
         )
-    return DeviceKeyframe(levels=(new0,) + coarse, var=var0, fused_count=count)
+    return DeviceKeyframe(
+        levels=(new0,) + coarse, var=var0, fused_count=count,
+        hits=hits, mask_full=mask0,
+    )
 
 
 @dataclass

@@ -286,7 +286,7 @@ def residuals_and_normal_eq_pallas(
 
 def _fusion_kernel(
     par_ref, up_ref, vp_ref, xi_obs_ref, valid_ref, kf_xi_ref, kf_var_ref,
-    kf_mask_ref, xi_out_ref, var_out_ref, n_ref,
+    kf_mask_ref, xi_out_ref, var_out_ref, fuse_out_ref, n_ref,
 ):
     """Gather-free half of the fusion pipeline (one VPU pass).
 
@@ -342,6 +342,8 @@ def _fusion_kernel(
     var_new = jnp.where(fuse_mask > 0, (1.0 - k_gain) * kf_var, kf_var)
     xi_out_ref[:] = xi_new
     var_out_ref[:] = jnp.clip(var_new, p[0, 27], p[0, 28])
+    # Per-pixel fuse flags drive the keyframe hit counts (K8 contract).
+    fuse_out_ref[:] = fuse_mask
     # Vector store (Mosaic cannot store scalars to VMEM on this platform).
     n_ref[0, 0:1] = n_ref[0, 0:1] + jnp.sum(fuse_mask)[None]
 
@@ -349,12 +351,15 @@ def _fusion_kernel(
 def fusion_pallas(
     up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, T_kc, pose_cov, intr, cfg
 ):
-    """Kernel-B wrapper (pre-gathered inputs). Returns (xi', var', n_fused)."""
+    """Kernel-B wrapper (pre-gathered inputs).
+
+    Returns (xi', var', fuse_mask, n_fused) — fuse_mask feeds hit counts.
+    """
     h0, w = kf_xi.shape
     (up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask), h = _pad_rows(
         [up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask], h0
     )
-    th = _tile_rows(h, w, planes=9)
+    th = _tile_rows(h, w, planes=10)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     R, t = T_kc[:3, :3], T_kc[:3, 3]
@@ -379,7 +384,7 @@ def fusion_pallas(
             jnp.zeros(3, jnp.float32),
         ]
     ).reshape(1, 32)
-    xi_new, var_new, n = pl.pallas_call(
+    xi_new, var_new, fuse_mask, n = pl.pallas_call(
         _fusion_kernel,
         grid=(grid,),
         in_specs=[
@@ -389,16 +394,18 @@ def fusion_pallas(
         out_specs=(
             spec,
             spec,
+            spec,
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ),
         interpret=_interpret(),
     )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask)
-    return xi_new[:h0], var_new[:h0], n[0, 0]
+    return xi_new[:h0], var_new[:h0], fuse_mask[:h0], n[0, 0]
 
 
 # ---------------------------------------------------------------------------

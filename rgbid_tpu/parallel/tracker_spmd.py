@@ -79,9 +79,12 @@ class ShardedTracker:
                     f"level {l} height {h} not divisible by mesh size {n}"
                 )
 
-        impl = functools.partial(
-            _track_impl, intrs=self.intrs, cfg=cfg, axis_name=self.axis
-        )
+        def impl(kf, cur, T_init, cons_prev):
+            return _track_impl(
+                kf, cur, T_init, self.intrs, cfg,
+                axis_name=self.axis, cons_prev=cons_prev,
+            )
+
         sharded = jax.shard_map(
             impl,
             mesh=mesh,
@@ -89,6 +92,7 @@ class ShardedTracker:
                 _kf_specs(cfg.levels, self.axis),
                 _cur_specs(cfg.levels),
                 P(),  # T_init replicated
+                P(),  # cons_prev (persistence history) replicated
             ),
             out_specs=jax.tree_util.tree_map(
                 lambda _: P(), TrackResult(*[0] * len(TrackResult._fields))
@@ -102,5 +106,18 @@ class ShardedTracker:
         kf: Tuple[KeyframeLevel, ...],
         cur: Tuple[FrameLevel, ...],
         T_init: jax.Array,
+        cons_prev: jax.Array | None = None,
     ) -> TrackResult:
-        return self._fn(kf, cur, T_init)
+        # The consensus persistence gate must behave identically under
+        # SPMD: without history the tracker waives persistence (treats
+        # every stratum as long-flagged), a single-shot semantic that
+        # would let one hard frame mask strata or fire hostage rescue in
+        # a streaming context. Default to the zeros history a fresh
+        # MotionState carries (advisor round-2 medium finding).
+        if cons_prev is None:
+            import jax.numpy as jnp
+
+            cons_prev = jnp.zeros(
+                (getattr(self.cfg, "consensus_bins", 6),), jnp.float32
+            )
+        return self._fn(kf, cur, T_init, cons_prev)

@@ -92,3 +92,73 @@ def fuse(
     var_new = np.where(fuse_mask, (1.0 - k_gain) * kf_var, kf_var)
     var_new = np.clip(var_new, cfg.min_variance, cfg.max_variance).astype(np.float32)
     return xi_new, var_new, kf_mask, int(fuse_mask.sum())
+
+
+def claim(
+    kf_xi: np.ndarray,
+    kf_var: np.ndarray,
+    kf_mask: np.ndarray,
+    kf_hits: np.ndarray,
+    cur_xi: np.ndarray,
+    cur_mask: np.ndarray,
+    T_ck: np.ndarray,
+    intr: Intrinsics,
+    cfg: FusionConfig,
+):
+    """Validity-growth oracle (K8 "update validity": the scatter half).
+
+    Loop-free numpy scatter via np.add.at: forward-warp every valid
+    current pixel into the keyframe grid (nearest pixel), accumulate
+    [weight, w*xi, w*xi^2], and claim INVALID keyframe pixels whose
+    support is strong and depth-consistent. Mirrors
+    mapping.fusion._claim_pass bit-for-bit in structure.
+
+    Returns (xi', var', mask', hits', n_claimed).
+    """
+    h, w = kf_xi.shape
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    z = 1.0 / np.maximum(cur_xi, 1e-8)
+    x = (u - intr.cx) / intr.fx * z
+    y = (v - intr.cy) / intr.fy * z
+    T_kc = np.linalg.inv(T_ck)
+    P = np.stack([x, y, z], axis=-1)
+    Pk = P @ T_kc[:3, :3].T.astype(np.float32) + T_kc[:3, 3].astype(np.float32)
+    Zk = Pk[..., 2]
+    front = Zk > 1e-6
+    rho = (1.0 / np.maximum(Zk, 1e-6)).astype(np.float32)
+    uk = intr.fx * Pk[..., 0] * rho + intr.cx
+    vk = intr.fy * Pk[..., 1] * rho + intr.cy
+    ui = np.round(uk).astype(np.int64)
+    vi = np.round(vk).astype(np.int64)
+    inb = (ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1)
+    wgt = (cur_mask.astype(bool) & (cur_xi > 1e-6) & front & inb).astype(np.float32)
+    flat = np.clip(vi, 0, h - 1) * w + np.clip(ui, 0, w - 1)
+    acc = np.zeros((h * w, 3), np.float64)
+    np.add.at(acc, flat.reshape(-1), np.stack(
+        [wgt, wgt * rho, wgt * rho * rho], axis=-1
+    ).reshape(-1, 3))
+    acc = acc.reshape(h, w, 3)
+    sw = acc[..., 0]
+    mean_xi = (acc[..., 1] / np.maximum(sw, 1e-6)).astype(np.float32)
+    spread = np.maximum(
+        acc[..., 2] / np.maximum(sw, 1e-6) - mean_xi.astype(np.float64) ** 2, 0.0
+    ).astype(np.float32)
+    claim_m = (
+        (~kf_mask.astype(bool))
+        & (sw >= cfg.claim_min_weight)
+        & (spread <= (3.0 * cfg.sensor_sigma_xi) ** 2)
+        & (mean_xi > 1e-6)
+    )
+    xi_new = np.where(claim_m, mean_xi, kf_xi).astype(np.float32)
+    var_new = np.where(
+        claim_m,
+        np.clip(
+            cfg.claim_var_inflation * cfg.sensor_sigma_xi**2 + spread,
+            cfg.min_variance,
+            cfg.max_variance,
+        ),
+        kf_var,
+    ).astype(np.float32)
+    mask_new = kf_mask.astype(bool) | claim_m
+    hits_new = np.where(claim_m, 1.0, kf_hits).astype(np.float32)
+    return xi_new, var_new, mask_new, hits_new, int(claim_m.sum())

@@ -47,13 +47,23 @@ class SlamSystem:
         # inverse-depth range: stratum_index clamps out-of-range pixels
         # into the edge bins, so a mismatched range would let near/far
         # pixels share (and pollute) an edge stratum's vote. Derive the
-        # bin range from the configured depth limits.
-        self.config = self.config.override(
-            **{
-                "tracking.consensus_xi_min": 1.0 / self.config.max_depth,
-                "tracking.consensus_xi_max": 1.0 / self.config.min_depth,
-            }
-        )
+        # bin range from the configured depth limits — but only while the
+        # fields are still at their dataclass defaults, so a range set
+        # explicitly via config/JSON (e.g. deliberately narrowed strata)
+        # is honored (advisor round-2).
+        from .core.config import TrackingConfig as _TCfg
+
+        _tdef = _TCfg()
+        if (
+            self.config.tracking.consensus_xi_min == _tdef.consensus_xi_min
+            and self.config.tracking.consensus_xi_max == _tdef.consensus_xi_max
+        ):
+            self.config = self.config.override(
+                **{
+                    "tracking.consensus_xi_min": 1.0 / self.config.max_depth,
+                    "tracking.consensus_xi_max": 1.0 / self.config.min_depth,
+                }
+            )
         self._step = ProcessFrame(intr, self.config)
         self.manager = KeyframeManager(
             intr, reloc_level=self.config.backend.reloc_level
@@ -358,6 +368,11 @@ class SlamSystem:
                 switch=bool(res.switch > 0.5),
                 relocalized=self._relocalized,
                 consensus_frac=float(res.consensus_frac),
+                guard_fired=bool(res.guard_fired > 0.5),
+                div_trans=float(res.div_trans),
+                div_rot=float(res.div_rot),
+                cons_flags=float(res.cons_flags),
+                cons_flags_persist=float(res.cons_flags_persist),
             )
         self._relocalized = False
         self.stats.append(rec)
@@ -496,4 +511,10 @@ class SlamSystem:
         write_tum_trajectory(path, self._trajectory)
 
     def save_map(self, path: str, voxel: float = 0.0) -> None:
-        write_ply(path, self.map_points(voxel))
+        """Write the global cloud; format by extension (.ply or .pcd)."""
+        if path.lower().endswith(".pcd"):
+            from .mapping.export import write_pcd
+
+            write_pcd(path, self.map_points(voxel))
+        else:
+            write_ply(path, self.map_points(voxel))

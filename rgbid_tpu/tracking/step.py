@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.camera import Intrinsics, level_intrinsics
 from ..core.config import SlamConfig
-from ..mapping.fusion import fuse_inverse_depth
+from ..mapping.fusion import fuse_and_grow
 from ..mapping.keyframe import DeviceKeyframe, create_device_keyframe, rebuild_after_fusion
 from .frames import preprocess_planes
 from .tracker import TrackResult, _track_impl
@@ -86,6 +86,18 @@ class StepResult(NamedTuple):
     sigma2_int: jax.Array
     sigma2_xi: jax.Array
     consensus_frac: jax.Array  # () pixel fraction masked by motion consensus
+    # () f32: 1.0 when the confidently-wrong divergence guard declared
+    # this frame lost (diagnostics; the lost flag already includes it).
+    guard_fired: jax.Array
+    # Guard input diagnostics: divergence of the converged pose from the
+    # constant-velocity prior (translation m / rotation rad), the number
+    # of consensus strata carrying raw stress flags this frame, and the
+    # number flagged persistently (>= consensus_persist consecutive
+    # frames — the guard's corroboration signal).
+    div_trans: jax.Array
+    div_rot: jax.Array
+    cons_flags: jax.Array
+    cons_flags_persist: jax.Array
 
     def pack(self) -> jax.Array:
         flat = [jnp.ravel(x).astype(jnp.float32) for x in self]
@@ -98,7 +110,7 @@ class StepResult(NamedTuple):
         v = np.asarray(vec)
         L = levels
         out, o = [], 0
-        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), (), ()]:
+        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), (), (), (), (), (), (), ()]:
             n = int(np.prod(shape)) if shape else 1
             out.append(v[o : o + n].reshape(shape) if shape else v[o])
             o += n
@@ -203,6 +215,36 @@ def _process_frame_impl(
         track.n_valid[0] < tcfg.min_valid_fraction * track.kf_count,
     )
 
+    # "Confidently wrong" divergence guard (see TrackingConfig): a
+    # basin-escaping mover drags the pose far off the constant-velocity
+    # prior while the consensus layer's raw flags fire — but the residual
+    # stays low, so the overlap-based loss check above never trips.
+    # Declaring the frame lost hands it to coast-and-hold + the host's
+    # BoW relocalization. Both signals are required: divergence alone
+    # false-triggers on legitimate accelerations and on the clean
+    # re-lock after a coast (large motion since the held prior, zero
+    # stress flags).
+    guard_fired = jnp.asarray(False)
+    D = se3.inv(T_init) @ track.T
+    div_t = jnp.linalg.norm(D[:3, 3])
+    div_r = se3.rotation_angle(D[:3, :3])
+    stress_n = jnp.sum((track.cons_excluded > 0.5).astype(jnp.float32))
+    # Persistent stress: strata flagged for >= consensus_persist
+    # CONSECUTIVE frames (the same persistence bar the consensus refit
+    # uses — one-frame flags on hard rigid frames are routine and must
+    # not count as corroboration).
+    persist = float(getattr(tcfg, "consensus_persist", 3))
+    stress_p = jnp.sum((track.cons_excluded >= persist).astype(jnp.float32))
+    if getattr(tcfg, "divergence_guard", False) and getattr(
+        tcfg, "consensus", False
+    ):
+        guard_fired = (
+            ((div_t > tcfg.div_trans_thresh) | (div_r > tcfg.div_rot_thresh))
+            & (stress_p > 0.5)
+            & finite
+        )
+        lost = jnp.logical_or(lost, guard_fired)
+
     # Keyframe-switch decision (overlap / motion / uncertainty thresholds).
     t_norm = jnp.linalg.norm(track.T[:3, 3])
     angle = se3.rotation_angle(track.T[:3, :3])
@@ -225,20 +267,33 @@ def _process_frame_impl(
                 jnp.float32,
             )
         )
-        xi2, var2, mask2, n_fused = fuse_inverse_depth(
+        # K8 full contract: Kalman refinement over the FULL estimate mask
+        # (confirmed + provisional claims), hit counts, and a periodic
+        # forward-splat claim pass that grows validity into founding
+        # depth holes (SURVEY.md §2.2 K8, §3.4). The claim cadence rides
+        # fused_count so its scatter cost is paid every claim_every-th
+        # fused frame only.
+        do_claim = fcfg.grow_validity & (
+            (kf.fused_count % max(fcfg.claim_every, 1))
+            == max(fcfg.claim_every, 1) - 1
+        )
+        xi2, var2, mask2, hits2, n_fused = fuse_and_grow(
             kf.levels[0].xi,
             kf.var,
-            kf.levels[0].mask,
+            kf.mask_full,
+            kf.hits,
             cur0.xi,
             cur0.mask,
             T,
             cov + floor,
             intrs[0],
             fcfg,
+            do_claim=do_claim,
         )
         kf2 = rebuild_after_fusion(
             kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian,
             fcfg.coarse_rebuild_every,
+            hits=hits2, confirm_hits=fcfg.confirm_hits,
         )
         return kf2, n_fused
 
@@ -304,6 +359,11 @@ def _process_frame_impl(
         sigma2_int=track.sigma2_int,
         sigma2_xi=track.sigma2_xi,
         consensus_frac=track.consensus_frac,
+        guard_fired=guard_fired.astype(jnp.float32),
+        div_trans=div_t,
+        div_rot=div_r,
+        cons_flags=stress_n,
+        cons_flags_persist=stress_p,
     )
     return res.pack(), kf2, motion2
 

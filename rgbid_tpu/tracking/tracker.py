@@ -234,6 +234,7 @@ def _track_impl(
         )
         rescue_flag = jnp.asarray(False)
         flags_any = jnp.zeros((n_bins,), jnp.float32)
+        nk_last = jnp.ones((n_bins,), jnp.float32)
 
     def make_runner(level):
         kl, cl = kf[level], cur[level]
@@ -404,13 +405,19 @@ def _track_impl(
             flags_any = jnp.maximum(
                 flags_any, jnp.maximum(verdict.excluded, verdict.hostage)
             )
+            nk_last = nk  # finest vote level's stratum pixel counts
             decision = _cons.decide(
                 verdict, cons_hist, nk, cfg.consensus_trigger_frac,
                 getattr(cfg, "consensus_max_frac", 0.4),
                 getattr(cfg, "consensus_persist", 3),
             )
             member2 = member * decision.member
-            consensus_frac = consensus_frac + decision.excluded_frac
+            # Report the LARGEST per-level excluded fraction, not the sum:
+            # when both vote levels flag the same strata in one frame a
+            # sum double-counts the masked pixels (advisor round-2).
+            consensus_frac = jnp.maximum(
+                consensus_frac, decision.excluded_frac
+            )
             rescue_flag = rescue_flag | decision.rescue
             rerun_here = decision.triggered & jnp.logical_not(
                 decision.rescue
@@ -443,13 +450,54 @@ def _track_impl(
         main_out = (T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied)
         s2i0 = jnp.asarray(cfg.init_sigma_int**2, jnp.float32)
         s2x0 = jnp.asarray(cfg.init_sigma_xi**2, jnp.float32)
+        rescue_any = rescue_flag
+        rescue_member = member
+        if getattr(cfg, "div_rescue", False):
+            # Divergence-triggered rescue (round-3 ballistic-mover
+            # response): when the converged pose diverges hard from the
+            # motion prior ON a frame where strata carry stress flags,
+            # re-track the pyramid from the prior with those strata
+            # masked. Measured asymmetry justifies a hair trigger: on a
+            # rigid false positive the masked re-track re-converges to
+            # the same pose (costs one extra frame-track); on a
+            # basin-escaping mover it removes the drag. Guards: the
+            # flagged strata must be a real pixel minority (frac in
+            # (1%, consensus_max_frac]) so we never mask half the image.
+            D = se3.inv(T_init) @ T
+            div_t = jnp.linalg.norm(D[:3, 3])
+            div_r = se3.rotation_angle(D[:3, :3])
+            flagged = jnp.maximum(
+                (flags_any > 0.5).astype(jnp.float32),
+                (cons_hist >= float(getattr(cfg, "consensus_persist", 3))).astype(
+                    jnp.float32
+                ),
+            )
+            frac = jnp.sum(flagged * nk_last) / jnp.maximum(
+                jnp.sum(nk_last), 1.0
+            )
+            div_fire = (
+                (
+                    (div_t > getattr(cfg, "div_trans_thresh", 0.03))
+                    | (div_r > getattr(cfg, "div_rot_thresh", 0.04))
+                )
+                & (frac > 0.01)
+                & (frac <= getattr(cfg, "consensus_max_frac", 0.35))
+                & jnp.logical_not(rescue_flag)
+            )
+            rescue_member = jnp.where(
+                div_fire, member * (1.0 - flagged), member
+            )
+            rescue_any = rescue_flag | div_fire
+            consensus_frac = jnp.maximum(
+                consensus_frac, jnp.where(div_fire, frac, 0.0)
+            )
         (
             T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied
         ) = jax.lax.cond(
-            rescue_flag,
-            lambda _: run_pyramid(member, T_init, s2i0, s2x0),
-            lambda _: main_out,
-            None,
+            rescue_any,
+            lambda m: run_pyramid(m, T_init, s2i0, s2x0),
+            lambda m: main_out,
+            rescue_member,
         )
 
     # Overlap vs the APPLIED finest-level template mask: when consensus
@@ -516,5 +564,12 @@ class Tracker:
         kf: Tuple[KeyframeLevel, ...],
         cur: Tuple[FrameLevel, ...],
         T_init: jax.Array,
+        cons_prev: jax.Array | None = None,
     ) -> TrackResult:
-        return self._fn(kf, cur, T_init)
+        """``cons_prev`` carries the per-stratum consecutive-flag counts
+        from the previous frame (streaming semantics, what the production
+        MotionState threads through). None = single-shot semantics: the
+        consensus persistence gate is waived."""
+        if cons_prev is None:
+            return self._fn(kf, cur, T_init)
+        return self._fn(kf, cur, T_init, cons_prev=cons_prev)

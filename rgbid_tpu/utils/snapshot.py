@@ -20,7 +20,7 @@ import numpy as np
 if TYPE_CHECKING:
     from ..system import SlamSystem
 
-FORMAT_VERSION = 2  # v2: DeviceKeyframe.fused_count leaf, kf rgb, loop edges
+FORMAT_VERSION = 3  # v3: DeviceKeyframe hits + mask_full leaves (K8)
 
 
 def save(system: "SlamSystem", path: str) -> None:

@@ -1,10 +1,10 @@
 """Full-SLAM endurance runs.
 
-A 60-frame loop with the backend on runs in the DEFAULT suite (round-2
-VERDICT: lifecycle regressions — memory growth, pose-rebase drift over
-repeated loop closures — must not be able to land silently behind an
-opt-in gate). The 100-frame version (BASELINE.json config 2's clip
-length) stays behind RUN_SLOW=1.
+A 100-frame loop with the backend on runs in the DEFAULT suite (round-2
+then round-3 VERDICT: lifecycle regressions — memory growth, pose-rebase
+drift over repeated loop closures — must not be able to land silently
+behind an opt-in gate, and the default suite must cover >=100 frames).
+A 200-frame version stays behind RUN_SLOW=1.
 """
 
 import os
@@ -49,16 +49,17 @@ def _run(n_frames: int):
     return seq, slam, gt
 
 
-def test_60_frame_loop_with_backend():
+def test_100_frame_loop_with_backend():
     """Default-suite endurance: full pipeline (flights, fusion, loop
-    closure, live pose publication) over a closed loop."""
-    seq, slam, gt = _run(60)
+    closure, live pose publication) over a 100-frame closed loop
+    (BASELINE.json config 2's clip length)."""
+    seq, slam, gt = _run(100)
     ate = absolute_trajectory_error(gt, slam.poses())
     rpe = relative_pose_error(gt, slam.poses())
     assert ate["rmse"] < 0.015, ate
     assert rpe["trans_rmse"] < 0.006, rpe
     assert not any(r.get("lost") for r in slam.stats)
-    assert len(slam.manager.keyframes) >= 6
+    assert len(slam.manager.keyframes) >= 8
     assert slam.backend.num_loop_closures >= 1
     cloud = slam.map_points(voxel=0.02)
     assert len(cloud) > 20000
@@ -67,8 +68,8 @@ def test_60_frame_loop_with_backend():
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="set RUN_SLOW=1")
-def test_100_frame_loop_with_backend():
-    seq, slam, gt = _run(100)
+def test_200_frame_loop_with_backend():
+    seq, slam, gt = _run(200)
     ate = absolute_trajectory_error(gt, slam.poses())
     rpe = relative_pose_error(gt, slam.poses())
     assert ate["rmse"] < 0.015, ate

@@ -133,6 +133,119 @@ def test_pose_uncertainty_inflates_obs_variance(setup):
     assert var_uncertain.mean() >= var_certain.mean()
 
 
+def _punch_holes(depth_u16, frac=0.25, seed=3):
+    """Blob dropout in a u16 depth image (invalid = 0), like the gauntlet's
+    depth_holes scenario."""
+    rng = np.random.default_rng(seed)
+    h, w = depth_u16.shape
+    out = depth_u16.copy()
+    target = frac * h * w
+    killed = 0
+    while killed < target:
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = rng.integers(5, 25)
+        yy, xx = np.ogrid[:h, :w]
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        killed += blob.sum()
+        out[blob] = 0
+    return out
+
+
+def test_claim_pass_matches_oracle(setup):
+    """Device forward-splat claim pass (K8 validity growth) vs the numpy
+    oracle: claimed sets and claimed values must agree."""
+    from rgbid_tpu.mapping.fusion import _claim_pass
+
+    f0, f1, T_ck, _ = setup
+    kf_xi, kf_mask_b = _planes(f0)
+    holes = _punch_holes(f0[1])
+    kf_xi_h, kf_mask_h = odo.inverse_depth_from_u16(holes)
+    cur_xi, cur_mask = _planes(f1)
+    kf_var = np.full_like(kf_xi, FCFG.sensor_sigma_xi**2)
+    kf_hits = np.where(kf_mask_h, FCFG.confirm_hits, 0.0).astype(np.float32)
+
+    r_xi, r_var, r_mask, r_hits, r_n = fusion_ref.claim(
+        kf_xi_h, kf_var, kf_mask_h, kf_hits, cur_xi, cur_mask, T_ck, INTR, FCFG
+    )
+    d_xi, d_var, d_mask, d_hits, d_n = _claim_pass(
+        jnp.asarray(kf_xi_h),
+        jnp.asarray(kf_var),
+        jnp.asarray(kf_mask_h, jnp.float32),
+        jnp.asarray(kf_hits),
+        jnp.asarray(cur_xi),
+        jnp.asarray(cur_mask, jnp.float32),
+        jnp.asarray(T_ck, jnp.float32),
+        INTR,
+        FCFG,
+    )
+    # Claims actually happen (the other frame observes into the holes)...
+    assert r_n > 1000
+    # ...and the device agrees with the oracle on the claimed set (up to
+    # float-boundary stragglers) and on the claimed values.
+    d_mask_b = np.asarray(d_mask) > 0.5
+    agree = d_mask_b == r_mask
+    assert agree.mean() > 0.999
+    both = d_mask_b & r_mask & (~kf_mask_h)
+    # Splat rounding at pixel-boundary u/v can put one contribution in a
+    # different bin between the f32 device path and the f64 oracle; allow
+    # one-in-a-thousand such stragglers, match the rest tightly.
+    close = np.abs(np.asarray(d_xi)[both] - r_xi[both]) <= 5e-4
+    assert close.mean() > 0.999, close.mean()
+    np.testing.assert_allclose(np.asarray(d_hits)[both], r_hits[both], atol=0)
+    assert abs(float(d_n) - r_n) / max(r_n, 1) < 2e-3
+
+
+def test_validity_grows_and_confirms(setup):
+    """A keyframe founded with 25% depth holes must self-complete: the
+    full estimate mask grows, claimed pixels confirm after another
+    consistent observation, and the claimed inverse depths are accurate
+    (SURVEY.md §2.2 K8 'update validity & hit counts')."""
+    from rgbid_tpu.mapping.fusion import fuse_and_grow
+
+    f0, _, _, gt_depth0 = setup
+    scene = synthetic.make_scene(0)
+    holes = _punch_holes(f0[1])
+    kf_xi, kf_mask = odo.inverse_depth_from_u16(holes)
+    founding_frac = kf_mask.mean()
+    gt_xi = np.where(gt_depth0 > 0, 1.0 / np.maximum(gt_depth0, 1e-6), 0.0)
+
+    xi = jnp.asarray(kf_xi)
+    var = jnp.asarray(np.full_like(kf_xi, FCFG.sensor_sigma_xi**2))
+    mask = jnp.asarray(kf_mask, jnp.float32)
+    hits = jnp.asarray(
+        np.where(kf_mask, FCFG.confirm_hits, 0.0).astype(np.float32)
+    )
+    rng = np.random.default_rng(11)
+    poses = synthetic.orbit_trajectory(40, trans_amp=0.15, rot_amp=0.04)
+    cov = jnp.zeros((6, 6), jnp.float32)
+    for k in [3, 5, 7]:
+        fk = synthetic.render_frame(
+            scene, INTR, poses[k], xi_noise_sigma=0.005, rng=rng
+        )
+        cur_xi, cur_mask = _planes(fk)
+        T = jnp.asarray(np.linalg.inv(poses[k]), jnp.float32)
+        xi, var, mask, hits, _ = fuse_and_grow(
+            xi, var, mask, hits,
+            jnp.asarray(cur_xi), jnp.asarray(cur_mask, jnp.float32),
+            T, cov, INTR, FCFG, do_claim=True,
+        )
+    mask_np = np.asarray(mask) > 0.5
+    hits_np = np.asarray(hits)
+    grown = mask_np & (~kf_mask)
+    # Validity grew substantially into the founding holes.
+    assert mask_np.mean() > founding_frac + 0.05, (
+        mask_np.mean(), founding_frac
+    )
+    assert grown.sum() > 1000
+    # Claimed + re-observed pixels are CONFIRMED (enter template/cloud).
+    confirmed_grown = grown & (hits_np >= FCFG.confirm_hits)
+    assert confirmed_grown.sum() > 0.5 * grown.sum()
+    # And the grown estimates are accurate where ground truth exists.
+    sel = grown & (gt_xi > 1e-6)
+    err = np.abs(np.asarray(xi)[sel] - gt_xi[sel])
+    assert np.median(err) < 0.01  # 1% of a 1/m inverse depth
+
+
 def test_create_and_rebuild_device_keyframe(setup):
     f0, f1, T_ck, _ = setup
     pyr = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3)

@@ -219,8 +219,12 @@ def test_sharded_consensus_triggers_identically(esm_pair):
         consensus=True, consensus_persist=1,
     )
     T0 = jnp.eye(4, dtype=jnp.float32)
+    # STREAMING semantics on both paths: zero persistence history, the
+    # same default the ShardedTracker uses (advisor round-2 fix — SPMD
+    # must not silently waive the persistence gate).
+    hist = jnp.zeros((cfg.consensus_bins,), jnp.float32)
     single = Tracker(intr, cfg)
-    r1 = single.track(kf.levels, cur2, T0)
+    r1 = single.track(kf.levels, cur2, T0, cons_prev=hist)
     mesh = make_mesh(8, "sp")
     sharded = ShardedTracker(mesh, intr, cfg)
     r8 = sharded.track(kf.levels, cur2, T0)

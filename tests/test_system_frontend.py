@@ -101,3 +101,22 @@ def test_map_and_trajectory_export(run, tmp_path):
     # Points live in front of the origin camera, within the scene bounds.
     assert np.percentile(cloud[:, 2], 5) > 0.5
     assert np.percentile(cloud[:, 2], 95) < 8.0
+
+
+def test_pcd_export_round_trip(run, tmp_path):
+    """PCD export (SURVEY.md §2.1 'saves PLY/PCD'): binary x/y/z/rgb PCD
+    round-trips bit-exact in xyz and to u8 resolution in color, and
+    save_map picks the format from the extension."""
+    _, slam = run
+    from rgbid_tpu.mapping.export import read_pcd, read_ply
+
+    pcd_path = str(tmp_path / "map.pcd")
+    ply_path = str(tmp_path / "map.ply")
+    slam.save_map(pcd_path, voxel=0.01)
+    slam.save_map(ply_path, voxel=0.01)
+    a = read_pcd(pcd_path)
+    b = read_ply(ply_path)
+    assert a.shape == b.shape and len(a) > 5000
+    np.testing.assert_allclose(a[:, :3], b[:, :3], atol=0)
+    # Both writers quantize color to u8, so they must agree exactly.
+    np.testing.assert_allclose(a[:, 3:], b[:, 3:], atol=1e-6)

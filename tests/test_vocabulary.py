@@ -163,6 +163,66 @@ def test_revisit_recall_benchmark():
     assert precision >= 0.5, (recall, precision)
 
 
+def test_revisit_benchmark_pretrained_default():
+    """The DEFAULT configuration (packaged b8l4 vocabulary + sqrt-tf +
+    relative-score gating — what BackendConfig now ships) must beat the
+    in-run-trained configuration's round-2 precision on the same
+    disjoint revisit benchmark (round-3 VERDICT item 5: flip the default
+    once precision >= 0.88 at recall 1.0; measured 0.92-0.98 over three
+    seeds)."""
+    import cv2
+
+    from rgbid_tpu.backend.features import extract_orb
+    from rgbid_tpu.core.camera import Intrinsics
+    from rgbid_tpu.datasets import synthetic
+
+    intr = Intrinsics(fx=129.3, fy=129.1, cx=79.6, cy=59.8, width=160, height=120)
+    n_per_loop = 55
+    poses = synthetic.loopy_trajectory(n_per_loop, radius=0.45, rot_amp=0.12)
+    poses = poses + poses
+    seq = synthetic.generate_sequence(
+        n_frames=len(poses), intr=intr, motion=poses, seed=7
+    )
+    n = len(poses)
+    min_gap = 12
+    db = BowDatabase(
+        min_score=0.02, min_gap=min_gap, max_candidates=4,
+        vocab_path="builtin", tf_mode="sqrt", rel_score=0.65,
+    )
+    descs = []
+    for i in range(n):
+        gray = cv2.cvtColor(seq.rgb[i], cv2.COLOR_RGB2GRAY)
+        _, d = extract_orb(gray, 300)
+        descs.append(d)
+
+    def pose_dist(i, j):
+        return np.linalg.norm(poses[i][:3, 3] - poses[j][:3, 3])
+
+    hits, misses, n_returned, n_true = 0, 0, 0, 0
+    for i in range(n):
+        positives = {
+            j
+            for j in range(i)
+            if abs(i - j) >= min_gap and pose_dist(i, j) < 0.15
+        }
+        if positives:
+            got = db.query(i, descs[i])
+            returned = {cid for cid, _ in got}
+            n_returned += len(returned)
+            n_true += len(returned & positives)
+            if returned & positives:
+                hits += 1
+            else:
+                misses += 1
+        db.insert(i, descs[i])
+    recall = hits / max(hits + misses, 1)
+    precision = n_true / max(n_returned, 1)
+    print(f"pretrained-default revisit recall@4 = {recall:.3f}, "
+          f"precision = {precision:.3f}")
+    assert recall >= 0.95, (recall, precision)
+    assert precision >= 0.85, (recall, precision)
+
+
 def test_vocabulary_save_load_roundtrip(tmp_path):
     """Vocabulary-file parity (the reference's pretrained DBoW2 model):
     save/load must preserve the exact tree and its assignments."""
@@ -184,12 +244,13 @@ def test_vocabulary_save_load_roundtrip(tmp_path):
 
 
 def test_builtin_vocabulary_loads_and_quantizes():
-    """The packaged vocabulary (rgbid_tpu/data/vocab_b8l3.npz, built by
-    backend.build_vocab) must load and give stable quantization from
-    keyframe 0 — no flat cold start, no in-run retraining."""
+    """The packaged vocabulary (rgbid_tpu/data/vocab_b8l4.npz, built by
+    backend.build_vocab, the config DEFAULT since round 3) must load and
+    give stable quantization from keyframe 0 — no flat cold start, no
+    in-run retraining."""
     rng = np.random.default_rng(12)
     db = BowDatabase(min_score=0.0, min_gap=2, vocab_path="builtin")
-    assert db.vocab.trained and db.vocab.num_words == 512
+    assert db.vocab.trained and db.vocab.num_words == 4096
     d, _ = _random_descs(400, rng, clusters=12)
     db.insert(0, d)
     counts0 = dict(db.entries[0])
