@@ -165,12 +165,15 @@ class TrackingConfig:
     divergence_guard: bool = False
     # 2. div_rescue — on divergence + stress-flag coincidence, RE-TRACK
     #    the pyramid from the prior with the flagged strata masked (the
-    #    hostage-rescue response on a new trigger). The response is
-    #    asymmetric: harmless on a rigid false positive (masking a
-    #    stratum of a rigid scene re-converges to the same pose, costs
-    #    one extra frame-track) and drag-removing when the flagged
-    #    stratum is a mover. Safe to leave on.
-    div_rescue: bool = True
+    #    hostage-rescue response on a new trigger). Measured A/B on the
+    #    gauntlet (QVGA, 60 f): ballistic 370.8 vs 370.7 mm (no benefit
+    #    — the drag is absorbed into the prior, so the per-frame trigger
+    #    fires on the wrong frames), walking/handheld unchanged,
+    #    large_motion 9.7 vs 7.7 mm (false-positive re-tracks from a
+    #    40 mm-wrong prior land slightly worse). Net negative → default
+    #    OFF; kept as a config option and as the documented record of
+    #    the second attempted answer.
+    div_rescue: bool = False
     # Divergence thresholds vs the motion prior, per frame. Calibration:
     # the gauntlet's hardest RIGID direction reversal (large_motion,
     # 0.55 m amplitude sinusoid) deviates ~0.012 m/frame from constant
@@ -241,20 +244,20 @@ class FusionConfig:
     coarse_rebuild_every: int = 4
     # K8 validity growth (SURVEY.md §2.2 K8 "update validity & hit
     # counts", §3.4): frames that observe pixels INVALID in the keyframe
-    # (depth holes at founding) claim them via a forward-splat pass, so
-    # keyframes self-complete like the reference's instead of keeping
-    # their founding holes for life.
+    # (depth holes at founding) claim them, so keyframes self-complete
+    # like the reference's instead of keeping their founding holes for
+    # life. Gather formulation riding the fusion pass's existing corner
+    # gathers — hole pixels warp along a coarse-pyramid depth guess and
+    # claim observations that close the loop (a literal scatter like the
+    # reference's measured ~90 ms/claim at VGA on this platform).
     grow_validity: bool = True
-    # Run the (scatter-based) claim pass every N fused frames: holes do
-    # not need per-frame filling, and the splat is the one fusion stage
-    # whose cost is not elementwise.
-    claim_every: int = 4
-    # Minimum forward-splat support (sum of contributing current-frame
-    # pixels) for an invalid keyframe pixel to be claimed.
-    claim_min_weight: float = 0.999
-    # Claimed pixels start at this variance multiple of the sensor
-    # variance: they are single-look estimates through a rounding splat,
-    # so they must refine (and be confirmed) before being trusted.
+    # Loop-closure gate for a claim: |xi re-expressed in keyframe -
+    # coarse guess| in 1/m. Wide enough for coarse-level edge bleed,
+    # tight enough to reject foreground/background confusion.
+    claim_tol: float = 0.08
+    # Claimed pixels start at this variance multiple of the observation
+    # variance: single-look estimates through a guessed correspondence
+    # must refine (and be confirmed) before being trusted.
     claim_var_inflation: float = 4.0
     # Hit-count confirmation threshold: a pixel enters the TRACKING
     # template and the exported cloud only once its hit count reaches

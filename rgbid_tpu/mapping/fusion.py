@@ -14,14 +14,25 @@ has two more pieces beyond the Kalman refinement:
 
 * **hit counts** — every successful per-pixel fuse increments a hits
   plane; template and cloud extraction gate on ``cfg.confirm_hits``;
-* **validity growth** — the gather form can only refine pixels that
-  already have a depth estimate (an invalid keyframe pixel has no ray to
-  look up a measurement along), so holes are filled by a periodic
-  FORWARD-SPLAT claim pass (`_claim_pass`): current-frame measurements
-  are scattered into the keyframe grid and invalid pixels with
-  depth-consistent support become provisional estimates (hits = 1) that
-  later fusion confirms. This restores the reference's self-completing
-  keyframes (its scatter formulation grows validity for free).
+* **validity growth** — invalid keyframe pixels (founding depth holes)
+  are claimed IN THE SAME gather pass: each hole pixel borrows a depth
+  GUESS from the keyframe's own coarse pyramid (the validity-renormalized
+  downsampling makes coarse levels defined across small holes), warps
+  along that hypothesis, and claims the observation if the re-expressed
+  measurement closes the loop (|xi_obs_kf - guess| within a gate). A
+  rejected hypothesis costs nothing; an accepted one initializes the
+  pixel at inflated variance and hits = 1, to be confirmed by later
+  fusion before the template/cloud trusts it.
+
+  Design note vs the reference: the reference's scatter formulation
+  grows validity for free; a literal scatter was built and measured at
+  ~90 ms per claim pass at VGA on this platform (scatter ops are
+  priced brutally by the sandbox emulator) — the gather-with-guess form
+  rides the fusion pass's EXISTING four corner gathers and costs ~0.
+  The semantic difference: gather-claiming fills holes consistent with
+  the surrounding geometry (sensor dropout, the dominant real case) but
+  not newly-revealed geometry with no coarse support; such pixels stay
+  invalid until a keyframe switch founds them directly.
 
 The covariance convention matches the tracker exactly: the tracker's
 IC update is T_ck <- T_ck . exp(-delta), so H^{-1} is the covariance of a
@@ -31,12 +42,44 @@ the frame this kernel's Jacobian is written in.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 
 from ..core.camera import Intrinsics
 from ..core.config import FusionConfig
-from ..ops.warp import backproject_grid, sample_tracker_planes, warp_points
+from ..ops.warp import sample_tracker_planes, warp_points
+
+
+def hole_guess(levels) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel depth hypothesis for INVALID level-0 pixels, cascaded
+    from the finest pyramid level with support (nearest-neighbor
+    upsample — pure reshape/broadcast, no gathers).
+
+    Support = the renormalized-blur VALUE existing (xi > 0), not the
+    level's validity mask: the pyramid's masks deliberately require the
+    subsampled center pixel valid (tracking must not invent depth), so
+    a founding hole stays masked at every level — but the renormalized
+    blur VALUES spread ~2 px per level into holes from the valid ring,
+    which is exactly the neighborhood hypothesis the claim pass needs.
+
+    Returns (guess, gmask) at level-0 resolution.
+    """
+    h, w = levels[0].xi.shape
+    guess = jnp.zeros((h, w), jnp.float32)
+    gmask = jnp.zeros((h, w), jnp.float32)
+    for l in range(1, len(levels)):
+        f = 2**l
+        up = jnp.repeat(jnp.repeat(levels[l].xi, f, axis=0), f, axis=1)[:h, :w]
+        hl, wl = up.shape
+        if hl < h or wl < w:
+            up = jnp.pad(up, ((0, h - hl), (0, w - wl)))
+        um = (up > 1e-6).astype(jnp.float32)
+        take = (gmask < 0.5) & (um > 0.5)
+        guess = jnp.where(take, up, guess)
+        gmask = jnp.maximum(gmask, um)
+    return guess, gmask
 
 
 def _fuse_core(
@@ -49,13 +92,22 @@ def _fuse_core(
     pose_cov: jax.Array,
     intr: Intrinsics,
     cfg: FusionConfig,
+    guess: Optional[jax.Array] = None,
+    gmask: Optional[jax.Array] = None,
 ):
-    """Kalman refinement of valid keyframe pixels.
+    """Kalman refinement of valid keyframe pixels, plus (when guess is
+    given) gather-form claiming of invalid ones.
 
-    Returns (xi', var', fuse_mask, n_fused) — fuse_mask is the per-pixel
-    {0,1} plane of successful updates (drives the hit counts).
+    Returns (xi', var', fuse_mask, claim_mask, n_fused) — fuse_mask and
+    claim_mask are per-pixel {0,1} planes (hit counts / validity growth).
     """
-    up, vp, _, _, front = warp_points(kf_xi, kf_mask, T_ck, intr)
+    grow = guess is not None
+    if grow:
+        xi_eff = jnp.where(kf_mask > 0, kf_xi, guess)
+        mask_eff = jnp.maximum(kf_mask, gmask)
+    else:
+        xi_eff, mask_eff = kf_xi, kf_mask
+    up, vp, _, _, front = warp_points(xi_eff, mask_eff, T_ck, intr)
     # 4 corner gathers for value+mask together (see sample_tracker_planes);
     # the duplicated xi channel is free relative to extra gather ops.
     stack = jnp.stack([cur_xi, cur_xi, cur_mask])
@@ -69,6 +121,7 @@ def _fuse_core(
         return fusion_pallas(
             up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask,
             _rigid_inverse(T_ck), pose_cov, intr, cfg,
+            guess=guess, gmask=gmask,
         )
 
     zc = 1.0 / jnp.maximum(xi_obs_cur, 1e-6)
@@ -105,7 +158,29 @@ def _fuse_core(
     xi_new = jnp.where(fuse_mask > 0, kf_xi + k_gain * resid, kf_xi)
     var_new = jnp.where(fuse_mask > 0, (1.0 - k_gain) * kf_var, kf_var)
     var_new = jnp.clip(var_new, cfg.min_variance, cfg.max_variance)
-    return xi_new, var_new, fuse_mask, jnp.sum(fuse_mask)
+
+    claim_mask = jnp.zeros_like(kf_mask)
+    if grow:
+        # Validity growth: a hole pixel's observation is claimed when the
+        # measurement, re-expressed in the keyframe, closes the loop with
+        # the coarse-pyramid hypothesis it was warped along.
+        consistent = (
+            jnp.abs(xi_obs_kf - guess) <= getattr(cfg, "claim_tol", 0.08)
+        ).astype(jnp.float32)
+        claim_mask = (
+            (kf_mask < 0.5).astype(jnp.float32) * gmask * valid * consistent
+        )
+        xi_new = jnp.where(claim_mask > 0, xi_obs_kf, xi_new)
+        var_new = jnp.where(
+            claim_mask > 0,
+            jnp.clip(
+                getattr(cfg, "claim_var_inflation", 4.0) * var_obs,
+                cfg.min_variance,
+                cfg.max_variance,
+            ),
+            var_new,
+        )
+    return xi_new, var_new, fuse_mask, claim_mask, jnp.sum(fuse_mask)
 
 
 def fuse_inverse_depth(
@@ -123,83 +198,10 @@ def fuse_inverse_depth(
 
     Returns (xi', var', mask', n_fused). All planes (H, W) float32.
     """
-    xi_new, var_new, _fuse_mask, n = _fuse_core(
+    xi_new, var_new, _fuse_mask, _claim, n = _fuse_core(
         kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, pose_cov, intr, cfg
     )
     return xi_new, var_new, kf_mask, n
-
-
-def _claim_pass(
-    kf_xi: jax.Array,
-    kf_var: jax.Array,
-    kf_mask: jax.Array,
-    kf_hits: jax.Array,
-    cur_xi: jax.Array,
-    cur_mask: jax.Array,
-    T_ck: jax.Array,
-    intr: Intrinsics,
-    cfg: FusionConfig,
-):
-    """Validity growth: forward-splat current measurements into the
-    keyframe grid and claim INVALID keyframe pixels that gathered
-    depth-consistent support (the reference's scatter formulation grows
-    validity this way for free; the numpy oracle is
-    reference_cpu/fusion.py claim()).
-
-    One XLA scatter-add of a (H*W, 3) stack [weight, w*xi, w*xi^2] — the
-    second moment rejects claims at depth discontinuities, where two
-    surfaces splat onto the same keyframe pixel. Claimed pixels become
-    provisional estimates: var inflated (cfg.claim_var_inflation) and
-    hits = 1, so they only reach the template/cloud after confirmation
-    by later fusion (cfg.confirm_hits).
-    """
-    h, w = kf_xi.shape
-    T_kc = _rigid_inverse(T_ck)
-    x, y, z = backproject_grid(cur_xi, intr)
-    R, t = T_kc[:3, :3], T_kc[:3, 3]
-    Xk = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
-    Yk = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
-    Zk = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
-    front = (Zk > 1e-6).astype(jnp.float32)
-    rho = 1.0 / jnp.maximum(Zk, 1e-6)  # = xi in the keyframe frame
-    uk = intr.fx * Xk * rho + intr.cx
-    vk = intr.fy * Yk * rho + intr.cy
-    ui = jnp.round(uk).astype(jnp.int32)
-    vi = jnp.round(vk).astype(jnp.int32)
-    inb = ((ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1)).astype(
-        jnp.float32
-    )
-    wgt = cur_mask * (cur_xi > 1e-6) * front * inb
-    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
-    vals = jnp.stack([wgt, wgt * rho, wgt * rho * rho], axis=-1).reshape(-1, 3)
-    acc = (
-        jnp.zeros((h * w, 3), jnp.float32)
-        .at[flat.reshape(-1)]
-        .add(vals)
-        .reshape(h, w, 3)
-    )
-    sw = acc[..., 0]
-    mean_xi = acc[..., 1] / jnp.maximum(sw, 1e-6)
-    spread = jnp.maximum(acc[..., 2] / jnp.maximum(sw, 1e-6) - mean_xi**2, 0.0)
-    claim = (
-        (kf_mask < 0.5)
-        & (sw >= cfg.claim_min_weight)
-        & (spread <= (3.0 * cfg.sensor_sigma_xi) ** 2)
-        & (mean_xi > 1e-6)
-    ).astype(jnp.float32)
-    xi_new = jnp.where(claim > 0, mean_xi, kf_xi)
-    var_new = jnp.where(
-        claim > 0,
-        jnp.clip(
-            cfg.claim_var_inflation * cfg.sensor_sigma_xi**2 + spread,
-            cfg.min_variance,
-            cfg.max_variance,
-        ),
-        kf_var,
-    )
-    mask_new = jnp.maximum(kf_mask, claim)
-    hits_new = jnp.where(claim > 0, 1.0, kf_hits)
-    return xi_new, var_new, mask_new, hits_new, jnp.sum(claim)
 
 
 def fuse_and_grow(
@@ -213,38 +215,25 @@ def fuse_and_grow(
     pose_cov: jax.Array,
     intr: Intrinsics,
     cfg: FusionConfig,
-    do_claim: jax.Array | bool = False,
+    guess: Optional[jax.Array] = None,
+    gmask: Optional[jax.Array] = None,
 ):
-    """The full K8 step: Kalman refinement + hit counts + (periodic)
-    validity growth. ``kf_mask`` is the FULL estimate mask (every pixel
-    with a depth estimate, confirmed or provisional), not the
-    hits-gated template mask.
+    """The full K8 step: Kalman refinement + hit counts + validity
+    growth (when a coarse-pyramid guess is supplied and
+    cfg.grow_validity is on). ``kf_mask`` is the FULL estimate mask
+    (every pixel with a depth estimate, confirmed or provisional), not
+    the hits-gated template mask.
 
     Returns (xi', var', mask', hits', n_fused).
     """
-    xi_new, var_new, fuse_mask, n = _fuse_core(
-        kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, pose_cov, intr, cfg
-    )
-    hits_new = kf_hits + fuse_mask
     if not getattr(cfg, "grow_validity", False):
-        return xi_new, var_new, kf_mask, hits_new, n
-
-    def with_claim(op):
-        xi, var, mask, hits = op
-        xi2, var2, mask2, hits2, _n_claimed = _claim_pass(
-            xi, var, mask, hits, cur_xi, cur_mask, T_ck, intr, cfg
-        )
-        return xi2, var2, mask2, hits2
-
-    def no_claim(op):
-        return op
-
-    xi_new, var_new, mask_new, hits_new = jax.lax.cond(
-        jnp.asarray(do_claim, jnp.bool_),
-        with_claim,
-        no_claim,
-        (xi_new, var_new, kf_mask, hits_new),
+        guess = gmask = None
+    xi_new, var_new, fuse_mask, claim_mask, n = _fuse_core(
+        kf_xi, kf_var, kf_mask, cur_xi, cur_mask, T_ck, pose_cov, intr, cfg,
+        guess=guess, gmask=gmask,
     )
+    hits_new = jnp.where(claim_mask > 0, 1.0, kf_hits + fuse_mask)
+    mask_new = jnp.maximum(kf_mask, claim_mask)
     return xi_new, var_new, mask_new, hits_new, n
 
 

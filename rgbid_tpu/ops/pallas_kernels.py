@@ -286,9 +286,12 @@ def residuals_and_normal_eq_pallas(
 
 def _fusion_kernel(
     par_ref, up_ref, vp_ref, xi_obs_ref, valid_ref, kf_xi_ref, kf_var_ref,
-    kf_mask_ref, xi_out_ref, var_out_ref, fuse_out_ref, n_ref,
+    kf_mask_ref, guess_ref, gmask_ref,
+    xi_out_ref, var_out_ref, fuse_out_ref, claim_out_ref, n_ref,
 ):
-    """Gather-free half of the fusion pipeline (one VPU pass).
+    """Gather-free half of the fusion pipeline (one VPU pass), including
+    the gather-form validity growth (K8 "update validity": hole pixels
+    warped along a coarse-pyramid guess claim consistent observations).
 
     par layout (SMEM, (1, 32) f32):
       0:9   R_kc row-major, 9:12 t_kc,
@@ -296,7 +299,8 @@ def _fusion_kernel(
             of the pose covariance in the [z, wx, wy] subspace used by the
             jacobian J = -xi^2 [0,0,1,Yk,-Xk,0]),
       21 inv_fx, 22 inv_fy, 23 cx, 24 cy,
-      25 sensor_var, 26 gate_k^2, 27 min_var, 28 max_var.
+      25 sensor_var, 26 gate_k^2, 27 min_var, 28 max_var,
+      29 claim_tol, 30 claim_var_inflation (0 = growth disabled).
     """
     i = pl.program_id(0)
 
@@ -340,26 +344,50 @@ def _fusion_kernel(
     k_gain = kf_var / jnp.maximum(kf_var + var_obs, 1e-12)
     xi_new = jnp.where(fuse_mask > 0, kf_xi + k_gain * resid, kf_xi)
     var_new = jnp.where(fuse_mask > 0, (1.0 - k_gain) * kf_var, kf_var)
+    # Validity growth: hole pixel + guess-consistent observation -> claim.
+    guess = guess_ref[:]
+    gmask = gmask_ref[:]
+    consistent = (jnp.abs(xi_obs_kf - guess) <= p[0, 29]).astype(jnp.float32)
+    claim = (
+        (kf_mask < 0.5).astype(jnp.float32)
+        * gmask
+        * valid
+        * consistent
+        * (p[0, 30] > 0.0).astype(jnp.float32)
+    )
+    xi_new = jnp.where(claim > 0, xi_obs_kf, xi_new)
+    var_new = jnp.where(claim > 0, p[0, 30] * var_obs, var_new)
     xi_out_ref[:] = xi_new
     var_out_ref[:] = jnp.clip(var_new, p[0, 27], p[0, 28])
-    # Per-pixel fuse flags drive the keyframe hit counts (K8 contract).
+    # Per-pixel fuse/claim flags drive hit counts + validity (K8 contract).
     fuse_out_ref[:] = fuse_mask
+    claim_out_ref[:] = claim
     # Vector store (Mosaic cannot store scalars to VMEM on this platform).
     n_ref[0, 0:1] = n_ref[0, 0:1] + jnp.sum(fuse_mask)[None]
 
 
 def fusion_pallas(
-    up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, T_kc, pose_cov, intr, cfg
+    up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, T_kc, pose_cov, intr,
+    cfg, guess=None, gmask=None,
 ):
     """Kernel-B wrapper (pre-gathered inputs).
 
-    Returns (xi', var', fuse_mask, n_fused) — fuse_mask feeds hit counts.
+    Returns (xi', var', fuse_mask, claim_mask, n_fused) — fuse_mask feeds
+    hit counts, claim_mask the validity growth. Pass guess=None to
+    disable growth (claim_mask all zero).
     """
     h0, w = kf_xi.shape
-    (up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask), h = _pad_rows(
-        [up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask], h0
+    grow = guess is not None
+    if not grow:
+        guess = jnp.zeros_like(kf_xi)
+        gmask = jnp.zeros_like(kf_xi)
+    (up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, guess, gmask), h = (
+        _pad_rows(
+            [up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, guess, gmask],
+            h0,
+        )
     )
-    th = _tile_rows(h, w, planes=10)
+    th = _tile_rows(h, w, planes=13)
     grid = h // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     R, t = T_kc[:3, :3], T_kc[:3, 3]
@@ -378,20 +406,23 @@ def fusion_pallas(
                     cfg.gate_k**2,
                     cfg.min_variance,
                     cfg.max_variance,
+                    getattr(cfg, "claim_tol", 0.08),
+                    getattr(cfg, "claim_var_inflation", 4.0) if grow else 0.0,
                 ],
                 jnp.float32,
             ),
-            jnp.zeros(3, jnp.float32),
+            jnp.zeros(1, jnp.float32),
         ]
     ).reshape(1, 32)
-    xi_new, var_new, fuse_mask, n = pl.pallas_call(
+    xi_new, var_new, fuse_mask, claim_mask, n = pl.pallas_call(
         _fusion_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            spec, spec, spec, spec, spec, spec, spec,
+            spec, spec, spec, spec, spec, spec, spec, spec, spec,
         ],
         out_specs=(
+            spec,
             spec,
             spec,
             spec,
@@ -401,11 +432,12 @@ def fusion_pallas(
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask)
-    return xi_new[:h0], var_new[:h0], fuse_mask[:h0], n[0, 0]
+    )(par, up, vp, xi_obs_cur, valid, kf_xi, kf_var, kf_mask, guess, gmask)
+    return xi_new[:h0], var_new[:h0], fuse_mask[:h0], claim_mask[:h0], n[0, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -94,7 +94,7 @@ def fuse(
     return xi_new, var_new, kf_mask, int(fuse_mask.sum())
 
 
-def claim(
+def fuse_grow(
     kf_xi: np.ndarray,
     kf_var: np.ndarray,
     kf_mask: np.ndarray,
@@ -102,63 +102,66 @@ def claim(
     cur_xi: np.ndarray,
     cur_mask: np.ndarray,
     T_ck: np.ndarray,
+    pose_cov: np.ndarray,
     intr: Intrinsics,
     cfg: FusionConfig,
+    guess: np.ndarray,
+    gmask: np.ndarray,
 ):
-    """Validity-growth oracle (K8 "update validity": the scatter half).
+    """Oracle for the FULL K8 step: Kalman refinement + hit counts +
+    gather-form validity growth (mirrors mapping.fusion.fuse_and_grow):
+    INVALID keyframe pixels are warped along the coarse-pyramid ``guess``
+    and claim the observation when the measurement re-expressed in the
+    keyframe closes the loop with the guess.
 
-    Loop-free numpy scatter via np.add.at: forward-warp every valid
-    current pixel into the keyframe grid (nearest pixel), accumulate
-    [weight, w*xi, w*xi^2], and claim INVALID keyframe pixels whose
-    support is strong and depth-consistent. Mirrors
-    mapping.fusion._claim_pass bit-for-bit in structure.
-
-    Returns (xi', var', mask', hits', n_claimed).
+    Returns (xi', var', mask', hits', n_fused, n_claimed).
     """
     h, w = kf_xi.shape
-    u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
-    z = 1.0 / np.maximum(cur_xi, 1e-8)
-    x = (u - intr.cx) / intr.fx * z
-    y = (v - intr.cy) / intr.fy * z
+    xi_eff = np.where(kf_mask.astype(bool), kf_xi, guess).astype(np.float32)
+    mask_eff = kf_mask.astype(bool) | (gmask > 0.5)
+    up, vp, _, _, front = warp_points(xi_eff, mask_eff, T_ck, intr)
+    xi_obs_cur, ok = bilinear_sample(cur_xi, cur_mask, up, vp)
+    valid = front & ok & (xi_obs_cur > 1e-6)
+
+    zc = 1.0 / np.maximum(xi_obs_cur, 1e-6)
+    dir_x = (up - intr.cx) / intr.fx
+    dir_y = (vp - intr.cy) / intr.fy
     T_kc = np.linalg.inv(T_ck)
-    P = np.stack([x, y, z], axis=-1)
-    Pk = P @ T_kc[:3, :3].T.astype(np.float32) + T_kc[:3, 3].astype(np.float32)
-    Zk = Pk[..., 2]
-    front = Zk > 1e-6
-    rho = (1.0 / np.maximum(Zk, 1e-6)).astype(np.float32)
-    uk = intr.fx * Pk[..., 0] * rho + intr.cx
-    vk = intr.fy * Pk[..., 1] * rho + intr.cy
-    ui = np.round(uk).astype(np.int64)
-    vi = np.round(vk).astype(np.int64)
-    inb = (ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1)
-    wgt = (cur_mask.astype(bool) & (cur_xi > 1e-6) & front & inb).astype(np.float32)
-    flat = np.clip(vi, 0, h - 1) * w + np.clip(ui, 0, w - 1)
-    acc = np.zeros((h * w, 3), np.float64)
-    np.add.at(acc, flat.reshape(-1), np.stack(
-        [wgt, wgt * rho, wgt * rho * rho], axis=-1
-    ).reshape(-1, 3))
-    acc = acc.reshape(h, w, 3)
-    sw = acc[..., 0]
-    mean_xi = (acc[..., 1] / np.maximum(sw, 1e-6)).astype(np.float32)
-    spread = np.maximum(
-        acc[..., 2] / np.maximum(sw, 1e-6) - mean_xi.astype(np.float64) ** 2, 0.0
-    ).astype(np.float32)
-    claim_m = (
-        (~kf_mask.astype(bool))
-        & (sw >= cfg.claim_min_weight)
-        & (spread <= (3.0 * cfg.sensor_sigma_xi) ** 2)
-        & (mean_xi > 1e-6)
+    R, t = T_kc[:3, :3].astype(np.float64), T_kc[:3, 3].astype(np.float64)
+    Xk = R[0, 0] * dir_x * zc + R[0, 1] * dir_y * zc + R[0, 2] * zc + t[0]
+    Yk = R[1, 0] * dir_x * zc + R[1, 1] * dir_y * zc + R[1, 2] * zc + t[1]
+    Zk = R[2, 0] * dir_x * zc + R[2, 1] * dir_y * zc + R[2, 2] * zc + t[2]
+    valid &= Zk > 1e-6
+    xi_obs_kf = np.where(valid, 1.0 / np.maximum(Zk, 1e-6), 0.0).astype(np.float32)
+
+    r3dir = R[2, 0] * dir_x + R[2, 1] * dir_y + R[2, 2]
+    dxi = r3dir / (np.maximum(Zk, 1e-6) ** 2 * np.maximum(xi_obs_cur, 1e-6) ** 2)
+    var_sensor = (dxi**2) * cfg.sensor_sigma_xi**2
+    xi2 = xi_obs_kf.astype(np.float64) ** 2
+    J = np.stack(
+        [np.zeros_like(Xk), np.zeros_like(Xk), -xi2, -xi2 * Yk, xi2 * Xk,
+         np.zeros_like(Xk)],
+        axis=-1,
     )
-    xi_new = np.where(claim_m, mean_xi, kf_xi).astype(np.float32)
-    var_new = np.where(
-        claim_m,
-        np.clip(
-            cfg.claim_var_inflation * cfg.sensor_sigma_xi**2 + spread,
-            cfg.min_variance,
-            cfg.max_variance,
-        ),
-        kf_var,
-    ).astype(np.float32)
+    var_pose = np.einsum("hwi,ij,hwj->hw", J, pose_cov, J)
+    var_obs = np.maximum(var_sensor + var_pose, cfg.min_variance)
+
+    resid = xi_obs_kf - kf_xi
+    gate = resid**2 <= cfg.gate_k**2 * (kf_var + var_obs)
+    fuse_mask = valid & kf_mask.astype(bool) & gate
+    k_gain = kf_var / np.maximum(kf_var + var_obs, 1e-12)
+    xi_new = np.where(fuse_mask, kf_xi + k_gain * resid, kf_xi).astype(np.float32)
+    var_new = np.where(fuse_mask, (1.0 - k_gain) * kf_var, kf_var)
+
+    consistent = np.abs(xi_obs_kf - guess) <= cfg.claim_tol
+    claim_m = (
+        (~kf_mask.astype(bool)) & (gmask > 0.5) & valid & consistent
+    )
+    xi_new = np.where(claim_m, xi_obs_kf, xi_new).astype(np.float32)
+    var_new = np.where(claim_m, cfg.claim_var_inflation * var_obs, var_new)
+    var_new = np.clip(var_new, cfg.min_variance, cfg.max_variance).astype(np.float32)
     mask_new = kf_mask.astype(bool) | claim_m
-    hits_new = np.where(claim_m, 1.0, kf_hits).astype(np.float32)
-    return xi_new, var_new, mask_new, hits_new, int(claim_m.sum())
+    hits_new = np.where(
+        claim_m, 1.0, kf_hits + fuse_mask.astype(np.float32)
+    ).astype(np.float32)
+    return xi_new, var_new, mask_new, hits_new, int(fuse_mask.sum()), int(claim_m.sum())

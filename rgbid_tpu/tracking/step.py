@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.camera import Intrinsics, level_intrinsics
 from ..core.config import SlamConfig
+from ..mapping import fusion as fusion_mod
 from ..mapping.fusion import fuse_and_grow
 from ..mapping.keyframe import DeviceKeyframe, create_device_keyframe, rebuild_after_fusion
 from .frames import preprocess_planes
@@ -268,15 +269,14 @@ def _process_frame_impl(
             )
         )
         # K8 full contract: Kalman refinement over the FULL estimate mask
-        # (confirmed + provisional claims), hit counts, and a periodic
-        # forward-splat claim pass that grows validity into founding
-        # depth holes (SURVEY.md §2.2 K8, §3.4). The claim cadence rides
-        # fused_count so its scatter cost is paid every claim_every-th
-        # fused frame only.
-        do_claim = fcfg.grow_validity & (
-            (kf.fused_count % max(fcfg.claim_every, 1))
-            == max(fcfg.claim_every, 1) - 1
-        )
+        # (confirmed + provisional claims), hit counts, and validity
+        # growth into founding depth holes (SURVEY.md §2.2 K8, §3.4) —
+        # hole pixels ride the same gather pass along a coarse-pyramid
+        # depth guess.
+        if fcfg.grow_validity:
+            guess, gmask = fusion_mod.hole_guess(kf.levels)
+        else:
+            guess = gmask = None
         xi2, var2, mask2, hits2, n_fused = fuse_and_grow(
             kf.levels[0].xi,
             kf.var,
@@ -288,7 +288,8 @@ def _process_frame_impl(
             cov + floor,
             intrs[0],
             fcfg,
-            do_claim=do_claim,
+            guess=guess,
+            gmask=gmask,
         )
         kf2 = rebuild_after_fusion(
             kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian,
