@@ -29,11 +29,14 @@ class TrackingConfig:
     # but does the heavy lifting of pulling large motions into the fine
     # levels' convergence basin. Measured on hard synthetic clips
     # (round 2): moving budget coarse-ward, (2,8,14,22) HALVES ATE vs the
-    # round-1 default (3,4,7,12) at ~equal frame time (large-motion orbit
-    # 35 vs 99 mm; noisy fast loop 3.6 vs 8.2 mm; easy orbit 0.51 vs
-    # 1.40 mm). (2,6,12,20) is the speed-leaning choice (-4% frame time,
-    # still ~2x more accurate than round 1).
-    iters: Tuple[int, ...] = (2, 8, 14, 22)
+    # round-1 default (3,4,7,12) at ~equal frame time. Round 3 measured
+    # (2,6,12,20) on the sensitive gauntlet trio (handheld 5.05 vs 4.58,
+    # exposure 5.8 vs 5.3, walking mover 55.2 vs 55.0 mm — within
+    # emulator noise) at -2 ms/frame, and adopted it; deeper cuts
+    # ((2,4,10,18)) measurably degrade hard scenarios. NOT re-tunable
+    # downward for speed alone: esm_min_level=2 looked speed-neutral on
+    # the easy clip but took the walking mover 55 -> 200 mm.
+    iters: Tuple[int, ...] = (2, 6, 12, 20)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).
@@ -242,6 +245,15 @@ class FusionConfig:
     # seed coarse-to-fine initialization, so a few frames of staleness
     # there does not move the final pose (validated on the endurance clip).
     coarse_rebuild_every: int = 4
+    # Fuse observations into the keyframe every Nth tracked frame
+    # (1 = every frame, the reference's cadence). At 2 the depth map
+    # still integrates ~15 observations over a typical keyframe life;
+    # saves the fusion pass's cost on skipped frames (sandbox ~5 ms).
+    fuse_every: int = 1
+    # Refresh the FINEST-level tracking template from the fused depth
+    # every Nth fused frame (1 = every frame). >1 trades one frame of
+    # template-depth staleness for the rebuild's gradient convs.
+    fine_rebuild_every: int = 1
     # K8 validity growth (SURVEY.md §2.2 K8 "update validity & hit
     # counts", §3.4): frames that observe pixels INVALID in the keyframe
     # (depth holes at founding) claim them, so keyframes self-complete
@@ -360,8 +372,11 @@ class SlamConfig:
     # device programs are chained with NO host sync (on-device motion model
     # + in-program keyframe switching), then read back together. Amortizes
     # the ~28 ms fixed host-readback cost of the sandbox TPU; 1 = the
-    # classic sync-every-frame loop.
-    pipeline_depth: int = 8
+    # classic sync-every-frame loop. 16 measured ~1.2 ms/frame faster
+    # than 8 at VGA with no accuracy change (round 3); pose-graph
+    # corrections publish at flight granularity, so much deeper flights
+    # would delay live rebases.
+    pipeline_depth: int = 16
 
     # ------------------------------------------------------------------
     def override(self, **updates: Any) -> "SlamConfig":

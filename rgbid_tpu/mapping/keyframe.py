@@ -133,6 +133,7 @@ def rebuild_after_fusion(
     coarse_every: int = 1,
     hits: jax.Array | None = None,
     confirm_hits: float = 2.0,
+    fine_every: int = 1,
 ) -> DeviceKeyframe:
     """Rebuild the tracking template from the fused level-0 inverse depth.
 
@@ -156,7 +157,24 @@ def rebuild_after_fusion(
     else:
         tmask = mask0
         hits = kf.hits
-    new0 = _rebuild_level0(kf.levels[0], xi0, tmask, intr, jac_dtype, jacobian)
+    if fine_every <= 1:
+        new0 = _rebuild_level0(
+            kf.levels[0], xi0, tmask, intr, jac_dtype, jacobian
+        )
+    else:
+        # The fused xi/mask are the keyframe's STATE and must always be
+        # stored; only the gradient/Jacobian recompute is amortized
+        # (stale-by-one gradients, exact values).
+        new0 = jax.lax.cond(
+            count % fine_every == 0,
+            lambda _: _rebuild_level0(
+                kf.levels[0], xi0, tmask, intr, jac_dtype, jacobian
+            ),
+            lambda _: KeyframeLevel(
+                kf.levels[0].intensity, xi0, tmask, kf.levels[0].jac
+            ),
+            None,
+        )
     if levels == 1:
         return DeviceKeyframe(
             levels=(new0,), var=var0, fused_count=count,

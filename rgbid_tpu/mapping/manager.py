@@ -7,6 +7,7 @@ retiring keyframes (cloud extraction) and hands them to the back end.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, List, Optional
 
@@ -14,6 +15,24 @@ import numpy as np
 
 from ..core.camera import Intrinsics
 from .keyframe import DeviceKeyframe, Keyframe, extract_cloud
+
+
+@functools.lru_cache(maxsize=None)
+def _packer():
+    """Jitted concat of finalize's plane reads into ONE vector: on the
+    sandbox TPU every first read of a device value costs ~28 ms
+    REGARDLESS of size, so finalize's six plane reads were ~170 ms per
+    keyframe switch (measured round 3: ~250 ms/switch total, ~29 ms/frame
+    amortized on switch-heavy clips). One packed read pays the fixed
+    cost once plus bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(*planes):
+        return jnp.concatenate([jnp.ravel(p) for p in planes])
+
+    return pack
 
 
 @dataclass
@@ -64,9 +83,27 @@ class KeyframeManager:
         readbacks per keyframe event, never per frame.
         """
         lvl0 = device_state.levels[0]
-        xi0 = np.asarray(lvl0.xi)
-        mask0 = np.asarray(lvl0.mask) > 0.5
-        var0 = np.asarray(device_state.var)
+        li = device_state.levels[
+            min(self.reloc_level, len(device_state.levels) - 1)
+        ]
+        # ONE batched device read for all six finalize planes.
+        packed = np.asarray(
+            _packer()(
+                lvl0.xi, lvl0.mask, device_state.var,
+                li.intensity, li.xi, li.mask,
+            )
+        )
+        h0, w0 = lvl0.xi.shape
+        hl, wl = li.xi.shape
+        n0 = h0 * w0
+        nl = hl * wl
+        o = 0
+        xi0 = packed[o : o + n0].reshape(h0, w0); o += n0
+        mask0 = packed[o : o + n0].reshape(h0, w0) > 0.5; o += n0
+        var0 = packed[o : o + n0].reshape(h0, w0); o += n0
+        li_int = packed[o : o + nl].reshape(hl, wl); o += nl
+        li_xi = packed[o : o + nl].reshape(hl, wl); o += nl
+        li_mask = packed[o : o + nl].reshape(hl, wl); o += nl
         # Color from the host-kept founding frame; when present the
         # finest-level device intensity plane need not be read back at all
         # (gray for ORB comes from the same host image).
@@ -98,12 +135,12 @@ class KeyframeManager:
         else:
             gray_u8 = np.clip(intensity0 * 255.0, 0, 255).astype(np.uint8)
         # Host copies of the coarse planes for place recognition + batched
-        # relocalization scoring (SURVEY.md §3.5).
-        li = device_state.levels[min(self.reloc_level, len(device_state.levels) - 1)]
+        # relocalization scoring (SURVEY.md §3.5) — from the same packed
+        # read as the level-0 planes above.
         kf.reloc_planes = {
-            "intensity": np.asarray(li.intensity),
-            "xi": np.asarray(li.xi),
-            "mask": np.asarray(li.mask),
+            "intensity": li_int,
+            "xi": li_xi,
+            "mask": li_mask,
             "intensity0_u8": gray_u8,
         }
         if self.on_finalize is not None:

@@ -259,6 +259,22 @@ def _process_frame_impl(
 
     def keep_branch(operands):
         kf, cur, T, cov = operands
+        if getattr(fcfg, "fuse_every", 1) > 1:
+            # Fusion cadence: skip the fuse+rebuild on off-cycle frames
+            # (fused_count still advances so the cadence pattern holds).
+            return jax.lax.cond(
+                kf.fused_count % fcfg.fuse_every == 0,
+                _fuse_branch,
+                lambda op: (
+                    op[0]._replace(fused_count=op[0].fused_count + 1),
+                    jnp.asarray(0.0, jnp.float32),
+                ),
+                operands,
+            )
+        return _fuse_branch(operands)
+
+    def _fuse_branch(operands):
+        kf, cur, T, cov = operands
         cur0 = cur[0]
         # Inflate the (overconfident, pixel-independence-assuming) tracker
         # covariance with a fixed pose-noise floor before propagation.
@@ -295,6 +311,7 @@ def _process_frame_impl(
             kf, xi2, var2, mask2, intr, jac_dtype, tcfg.jacobian,
             fcfg.coarse_rebuild_every,
             hits=hits2, confirm_hits=fcfg.confirm_hits,
+            fine_every=getattr(fcfg, "fine_rebuild_every", 1),
         )
         return kf2, n_fused
 

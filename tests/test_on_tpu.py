@@ -146,6 +146,57 @@ def test_pallas_fusion_matches_xla_on_chip(hw):
     np.testing.assert_allclose(float(out_p[3]), float(out_x[3]), rtol=1e-4)
 
 
+def test_pallas_fusion_growth_matches_xla_on_chip():
+    """The gather-form validity growth (K8 hole claiming, round 3) under
+    REAL Mosaic lowering: Pallas kernel's claimed set/values/hits must
+    match the XLA twin."""
+    _require_tpu()
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.mapping.fusion import fuse_and_grow
+    from rgbid_tpu.reference_cpu import se3_np
+
+    h, w = 250, 320
+    intr, (kI, kxi, km), (cI, cxi, cm) = _synthetic_pair(h, w, seed=5)
+    # Punch a block of holes into the keyframe.
+    km = km.at[80:140, 100:200].set(0.0)
+    from rgbid_tpu.mapping.fusion import hole_guess
+    from rgbid_tpu.ops import image
+    from rgbid_tpu.tracking.frames import KeyframeLevel
+
+    xi_pyr, m_pyr = image.build_pyramid(kxi * km, km, 3)
+    lvls = [
+        KeyframeLevel(intensity=None, xi=x, mask=m, jac=None)
+        for x, m in zip(xi_pyr, m_pyr)
+    ]
+    guess, gmask = hole_guess(lvls)
+    T = jnp.asarray(
+        se3_np.exp([0.01, -0.02, 0.015, 0.004, -0.006, 0.008]), jnp.float32
+    )
+    cov = jnp.asarray(np.eye(6) * 1e-6, jnp.float32)
+    var = jnp.full((h, w), 6.4e-5, jnp.float32)
+    hits = 2.0 * km
+    base = FusionConfig()
+    outs = {}
+    for kern in ("pallas", "xla"):
+        outs[kern] = fuse_and_grow(
+            kxi * km, var, km, hits, cxi, cm, T, cov, intr,
+            dataclasses.replace(base, kernel=kern),
+            guess=guess, gmask=gmask,
+        )
+    xp, vp_, mp, hp, _ = outs["pallas"]
+    xx, vx, mx, hx, _ = outs["xla"]
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(mx), atol=0)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hx), atol=0)
+    # Growth actually happened into the hole block.
+    claimed = (np.asarray(mp) > 0.5) & (np.asarray(km) < 0.5)
+    assert claimed.sum() > 500, claimed.sum()
+
+
 def test_vga_tracking_clip_ate_on_chip():
     """12-frame VGA clip through the production SlamSystem (flights,
     Pallas kernels with REAL Mosaic lowering): ATE bound per the bench
