@@ -61,6 +61,16 @@ def main():
     # bootstrap + one FULL flight so every compiled program (per-frame
     # step, flight-stack readback) is cached before timing.
     cfg = SlamConfig()
+    # A/B hook: BENCH_OVERRIDES="tracking.conv_skip_tol=1e-5,..." applies
+    # dotted config overrides (values parsed as JSON) before the run.
+    ov = os.environ.get("BENCH_OVERRIDES", "")
+    if ov:
+        kv = {}
+        for item in ov.split(","):
+            k, v = item.split("=", 1)
+            kv[k.strip()] = json.loads(v)
+        cfg = cfg.override(**kv)
+        print(f"bench: overrides {kv}", file=sys.stderr)
     depth = cfg.pipeline_depth
     n_warmup = int(os.environ.get("BENCH_WARMUP", str(depth + 1)))
     n_frames = int(os.environ.get("BENCH_FRAMES", str(3 * depth)))

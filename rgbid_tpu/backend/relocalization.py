@@ -40,11 +40,10 @@ def _align_level(t_int, t_xi, t_mask, c_int, c_xi, c_mask, carry_in, intr_l, nu,
     # pose graph directly.
     from ..ops.warp import backproject_grid
 
-    ones = jnp.ones_like(t_mask)
-    gx_i, gy_i = image.gradients(t_int, ones)
+    gx_i, gy_i = image.gradients_unmasked(t_int)
     gx_x, gy_x = image.gradients(t_xi, t_mask)
     t_grads = jnp.stack([gx_i, gy_i, gx_x, gy_x])
-    cgx_i, cgy_i = image.gradients(c_int, jnp.ones_like(c_mask))
+    cgx_i, cgy_i = image.gradients_unmasked(c_int)
     cgx_x, cgy_x = image.gradients(c_xi, c_mask)
     c_stack7 = jnp.stack([c_int, c_xi, c_mask, cgx_i, cgy_i, cgx_x, cgy_x])
     t_points = backproject_grid(t_xi, intr_l)

@@ -193,6 +193,21 @@ class TrackingConfig:
     # emulator a lax.while_loop costs ~5 ms per instance even at zero
     # trips, cancelling the savings; on real TPU hardware set ~1e-5.
     early_exit_tol: float = 0.0
+    # Convergence SKIP (the emulator-friendly sibling of early_exit_tol):
+    # keep the static fori_loop but wrap the iteration body in a
+    # lax.cond on the previous step's twist norm — converged iterations
+    # become runtime no-ops, skipping the 4 corner gathers + IRLS kernel
+    # (measured ~1 ms skipped vs ~6.6 ms hot per VGA trip, ISOLATED).
+    # Default 0 (off): in the PRODUCTION flight pipeline the cond is a
+    # net LOSS on this sandbox — 87.0 vs 71.3 ms/frame median on the VGA
+    # bench (round-3 A/B at 1e-5; the per-trip cond dispatch breaks the
+    # overlap the straight-line body gets — probe-vs-production
+    # inversion #4, SURVEY.md Appendix D #1). Semantics are safe either
+    # way (skipped steps would move the pose < tol; 1e-5 = 10 um /
+    # 10 urad, two orders below the mm noise floor), so deployments on
+    # real TPU hardware — where a branch costs ~us, not ms — should
+    # re-measure and likely enable it.
+    conv_skip_tol: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -249,10 +264,17 @@ class FusionConfig:
     # (1 = every frame, the reference's cadence). At 2 the depth map
     # still integrates ~15 observations over a typical keyframe life;
     # saves the fusion pass's cost on skipped frames (sandbox ~5 ms).
-    fuse_every: int = 1
+    # Default 2 (round 3): gauntlet A/B at 60 frames/scenario shows no
+    # accuracy cost on the fusion-sensitive scenarios (depth_holes 4.14
+    # vs 3.73 mm — within emulator noise; handheld 5.31 vs 5.05;
+    # combined 3.84 vs 5.06; walking mover 34 vs 55 mm).
+    fuse_every: int = 2
     # Refresh the FINEST-level tracking template from the fused depth
     # every Nth fused frame (1 = every frame). >1 trades one frame of
     # template-depth staleness for the rebuild's gradient convs.
+    # Stays 1: with fuse_every=2 the rebuild already runs half the
+    # frames, and a production A/B of fine=2 on top measured no further
+    # frame-time change (72.1 vs 71.5 ms median — noise).
     fine_rebuild_every: int = 1
     # K8 validity growth (SURVEY.md §2.2 K8 "update validity & hit
     # counts", §3.4): frames that observe pixels INVALID in the keyframe

@@ -52,8 +52,7 @@ def _template_levels(
     out = []
     for l in range(len(int_pyr)):
         intr_l = level_intrinsics(intr, l)
-        ones = jnp.ones_like(mask_pyr[l])
-        gx_i, gy_i = image.gradients(int_pyr[l], ones)
+        gx_i, gy_i = image.gradients_unmasked(int_pyr[l])
         gx_x, gy_x = image.gradients(xi_pyr[l], mask_pyr[l])
         if jacobian == "esm":
             # ESM keeps only the 4 gradient planes; the warp Jacobian is
@@ -114,8 +113,7 @@ def _rebuild_level0(
             [old.jac[:2], jnp.stack([gx_x, gy_x]).astype(jac_dtype)], axis=0
         )
     else:
-        ones = jnp.ones_like(mask0)
-        gx_i, gy_i = image.gradients(old.intensity, ones)
+        gx_i, gy_i = image.gradients_unmasked(old.intensity)
         jac = gauss_newton.template_jacobians(
             gx_i, gy_i, gx_x, gy_x, xi0, mask0, intr, jac_dtype
         )

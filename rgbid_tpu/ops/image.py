@@ -182,11 +182,24 @@ def build_pyramids_multi(imgs, masks, levels: int):
 # K4 -----------------------------------------------------------------------
 
 
+def _pad1(x: jax.Array, axis: int) -> jax.Array:
+    """Zero-pad one element on both sides of ``axis`` (negative index)."""
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (1, 1)
+    return jnp.pad(x, cfg)
+
+
 def gradients(img: jax.Array, mask: jax.Array):
     """(gx, gy) masked central differences (zero at invalid/borders).
 
-    Works on (H, W) planes or batched (..., H, W) stacks (one fused op
-    chain for several planes).
+    Works on (H, W) planes or batched (..., H, W) stacks. Shift-concat
+    formulation: an interior-slice + jnp.pad variant with ~half the
+    plane-ops measured ~2.5 ms/frame SLOWER in the production VGA flight
+    pipeline (round-3 A/B, 79.0 vs 76.4 ms median — pad breaks the XLA
+    elementwise fusion the concat form gets), another probe-vs-production
+    inversion (SURVEY.md Appendix D #1). Interior gx =
+    0.5*(img[u+1]-img[u-1]) where both neighbors are valid, zero at
+    borders/invalid — matches the numpy oracle.
     """
     zc = jnp.zeros_like(img[..., :, :1])
     zr = jnp.zeros_like(img[..., :1, :])
@@ -210,3 +223,25 @@ def gradients(img: jax.Array, mask: jax.Array):
     ok_x = ok_x.at[..., :, 0].set(0.0).at[..., :, -1].set(0.0)
     ok_y = ok_y.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
     return gx * ok_x, gy * ok_y
+
+
+def gradients_unmasked(img: jax.Array):
+    """gradients() for a plane defined everywhere (e.g. intensity):
+    skips the mask-product planes entirely (4 concat + 2 mul + 4 set
+    fewer ops per call). Equivalent to gradients(img, ones) — use at
+    every intensity call site. Border columns/rows still zero (the
+    one-sided difference the concat form produces there is masked off in
+    gradients(); here we zero it explicitly to stay bit-equivalent)."""
+    zc = jnp.zeros_like(img[..., :, :1])
+    zr = jnp.zeros_like(img[..., :1, :])
+    gx = 0.5 * (
+        jnp.concatenate([img[..., :, 1:], zc], -1)
+        - jnp.concatenate([zc, img[..., :, :-1]], -1)
+    )
+    gy = 0.5 * (
+        jnp.concatenate([img[..., 1:, :], zr], -2)
+        - jnp.concatenate([zr, img[..., :-1, :]], -2)
+    )
+    gx = gx.at[..., :, 0].set(0.0).at[..., :, -1].set(0.0)
+    gy = gy.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+    return gx, gy

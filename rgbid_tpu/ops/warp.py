@@ -71,10 +71,56 @@ def warp_points(xi_ref: jax.Array, mask_ref: jax.Array, T: jax.Array, intr: Intr
     return up, vp, rho, (xp, yp, zp), mask_ref * front
 
 
+# One stacked-index gather for all 4 bilinear corners (True) vs four
+# separate corner gathers (False). The stacked form measured 16% faster
+# in an isolated probe but 4 ms/frame SLOWER in the production flight
+# pipeline (round-3 A/B: 83.1 vs 78.9 ms/frame on the VGA bench clip) —
+# another probe-vs-production inversion (SURVEY.md Appendix D #1), so
+# the split form stays the default. Module-level so probes can flip it
+# at trace time; semantics are bit-identical either way.
+STACKED_GATHER = False
+
+
+def _corner_weights(u, v, h, w):
+    """Shared bilinear-corner setup: clamped integer corners + weights."""
+    inb = (
+        (u >= 0.0) & (u <= w - 1.001) & (v >= 0.0) & (v <= h - 1.001)
+    ).astype(jnp.float32)
+    uc = jnp.clip(u, 0.0, w - 1.001)
+    vc = jnp.clip(v, 0.0, h - 1.001)
+    u0 = jnp.floor(uc).astype(jnp.int32)
+    v0 = jnp.floor(vc).astype(jnp.int32)
+    fu = uc - u0.astype(jnp.float32)
+    fv = vc - v0.astype(jnp.float32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    return inb, u0, v0, u1, v1, fu, fv
+
+
+def _gather_corners(stack: jax.Array, u0, v0, u1, v1):
+    """Gather the 4 bilinear corners of a (C, H, W) stack.
+
+    Returns (C, 4, H, W) in corner order [00, 01, 10, 11]."""
+    if STACKED_GATHER:
+        vs = jnp.stack([v0, v0, v1, v1])
+        us = jnp.stack([u0, u1, u0, u1])
+        return stack[:, vs, us]
+    return jnp.stack(
+        [
+            stack[:, v0, u0],
+            stack[:, v0, u1],
+            stack[:, v1, u0],
+            stack[:, v1, u1],
+        ],
+        axis=1,
+    )
+
+
 def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
-    """Sample [intensity, xi, mask] (3, H, W) at shared (u, v) with FOUR
-    corner gathers total (vs 12 when sampling the planes separately — on
-    the sandbox TPU every gather op carries a multi-ms fixed cost).
+    """Sample [intensity, xi, mask] (3, H, W) at shared (u, v) with ONE
+    stacked corner gather (vs 12 gathers when sampling the planes
+    separately — on the sandbox TPU every gather op carries a multi-ms
+    fixed cost).
 
     From the same gathered corners: bilinear blend for intensity/xi, and
     exact all-4-corners product for the {0,1} validity mask (identical
@@ -83,60 +129,32 @@ def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
     Returns (i_s, xi_s, mask_ok, inb), each (H, W).
     """
     _, h, w = stack3.shape
-    inb = (
-        (u >= 0.0) & (u <= w - 1.001) & (v >= 0.0) & (v <= h - 1.001)
-    ).astype(jnp.float32)
-    uc = jnp.clip(u, 0.0, w - 1.001)
-    vc = jnp.clip(v, 0.0, h - 1.001)
-    u0 = jnp.floor(uc).astype(jnp.int32)
-    v0 = jnp.floor(vc).astype(jnp.int32)
-    fu = uc - u0.astype(jnp.float32)
-    fv = vc - v0.astype(jnp.float32)
-    u1 = jnp.minimum(u0 + 1, w - 1)
-    v1 = jnp.minimum(v0 + 1, h - 1)
-    s00 = stack3[:, v0, u0]
-    s01 = stack3[:, v0, u1]
-    s10 = stack3[:, v1, u0]
-    s11 = stack3[:, v1, u1]
-    w00 = (1 - fu) * (1 - fv)
-    w01 = fu * (1 - fv)
-    w10 = (1 - fu) * fv
-    w11 = fu * fv
-    blend = s00 * w00[None] + s01 * w01[None] + s10 * w10[None] + s11 * w11[None]
-    mask_ok = s00[2] * s01[2] * s10[2] * s11[2]
+    inb, u0, v0, u1, v1, fu, fv = _corner_weights(u, v, h, w)
+    s = _gather_corners(stack3, u0, v0, u1, v1)  # (3, 4, H, W)
+    cw = jnp.stack(
+        [(1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv]
+    )
+    blend = (s * cw[None]).sum(axis=1)
+    mask_ok = s[2].prod(axis=0)
     return blend[0], blend[1], mask_ok, inb
 
 
 def sample_stack7(stack7: jax.Array, u: jax.Array, v: jax.Array):
     """Like sample_tracker_planes but for the 7-channel ESM stack
-    [I, xi, mask, gxI, gyI, gxXi, gyXi]: still 4 corner gathers; channel 2
-    (mask) gets exact all-corners product semantics, the rest bilinear.
+    [I, xi, mask, gxI, gyI, gxXi, gyXi]: one stacked corner gather;
+    channel 2 (mask) gets exact all-corners product semantics, the rest
+    bilinear.
 
     Returns (blend (7, H, W), mask_ok (H, W), inb (H, W)).
     """
     _, h, w = stack7.shape
-    inb = (
-        (u >= 0.0) & (u <= w - 1.001) & (v >= 0.0) & (v <= h - 1.001)
-    ).astype(jnp.float32)
-    uc = jnp.clip(u, 0.0, w - 1.001)
-    vc = jnp.clip(v, 0.0, h - 1.001)
-    u0 = jnp.floor(uc).astype(jnp.int32)
-    v0 = jnp.floor(vc).astype(jnp.int32)
-    fu = uc - u0.astype(jnp.float32)
-    fv = vc - v0.astype(jnp.float32)
-    u1 = jnp.minimum(u0 + 1, w - 1)
-    v1 = jnp.minimum(v0 + 1, h - 1)
-    s00 = stack7[:, v0, u0]
-    s01 = stack7[:, v0, u1]
-    s10 = stack7[:, v1, u0]
-    s11 = stack7[:, v1, u1]
-    blend = (
-        s00 * ((1 - fu) * (1 - fv))[None]
-        + s01 * (fu * (1 - fv))[None]
-        + s10 * ((1 - fu) * fv)[None]
-        + s11 * (fu * fv)[None]
+    inb, u0, v0, u1, v1, fu, fv = _corner_weights(u, v, h, w)
+    s = _gather_corners(stack7, u0, v0, u1, v1)  # (7, 4, H, W)
+    cw = jnp.stack(
+        [(1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv]
     )
-    mask_ok = s00[2] * s01[2] * s10[2] * s11[2]
+    blend = (s * cw[None]).sum(axis=1)
+    mask_ok = s[2].prod(axis=0)
     return blend, mask_ok, inb
 
 

@@ -86,8 +86,7 @@ def preprocess_planes(
         stack7 = None
         if esm:
             if l >= esm_min_level:
-                ones = jnp.ones_like(masks[l])
-                gx_i, gy_i = image.gradients(ints[l], ones)
+                gx_i, gy_i = image.gradients_unmasked(ints[l])
                 gx_x, gy_x = image.gradients(xis[l], masks[l])
                 stack7 = jnp.stack(
                     [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
@@ -118,8 +117,7 @@ def keyframe_pyramid(
     out = []
     for l, lev in enumerate(frame):
         intr_l = level_intrinsics(intr, l)
-        ones = jnp.ones_like(lev.mask)
-        gx_i, gy_i = image.gradients(lev.intensity, ones)
+        gx_i, gy_i = image.gradients_unmasked(lev.intensity)
         gx_x, gy_x = image.gradients(lev.xi, lev.mask)
         if jacobian == "esm":
             jac = jnp.stack([gx_i, gy_i, gx_x, gy_x]).astype(jac_dtype)

@@ -25,6 +25,14 @@ def _run(seq, consensus: bool):
         **{
             "backend.enabled": False,
             "tracking.consensus": consensus,
+            # Pin the reference's every-frame fusion cadence: this test
+            # compares consensus ON vs OFF on a deliberately short,
+            # chaotic clip (see the comment in the walking-mover test),
+            # and the fuse_every=2 default shifts keyframe-switch timing
+            # enough to reshuffle the off-run's luck. The cadence's own
+            # accuracy evidence lives in the 60-frame gauntlet A/B
+            # (walking mover 34 mm with fuse2 vs 55 without).
+            "fusion.fuse_every": 1,
         }
     )
     slam = SlamSystem(INTR, cfg)

@@ -101,15 +101,29 @@ def test_spmd_matches_single_device(level1_pair):
 
 
 def test_sharded_reloc_matches_unsharded(level1_pair):
+    """DP reloc over DISTINCT pairs: each batch slot scores a different
+    (template, current) pair, and per-pair equality with the unsharded
+    scorer is asserted — sharding must not mix pairs across devices."""
     p0, p1, T_gt = level1_pair
     cfg = SlamConfig().override(
         **{"tracking.levels": 3, "backend.reloc_level": 1, "backend.reloc_iters": 16}
     )
     scorer = RelocScorer(INTR, cfg)
-    planes0 = {"intensity": p0.intensity[1], "xi": p0.xi[1], "mask": p0.mask[1].astype(np.float32)}
-    planes1 = {"intensity": p1.intensity[1], "xi": p1.xi[1], "mask": p1.mask[1].astype(np.float32)}
-    temps = [planes0] * 3
-    curs = [planes1] * 3
+
+    def planes(p):
+        return {
+            "intensity": p.intensity[1],
+            "xi": p.xi[1],
+            "mask": p.mask[1].astype(np.float32),
+        }
+
+    # Three distinct pairs: (p0→p1), (p1→p0), (p0→a farther view).
+    scene = synthetic.make_scene(0)
+    T2 = synthetic.orbit_trajectory(40, trans_amp=0.2, rot_amp=0.05)[6]
+    f2 = synthetic.render_frame(scene, INTR, T2)
+    p2 = odo.preprocess_frame(f2[0], f2[1], 2)
+    temps = [planes(p0), planes(p1), planes(p0)]
+    curs = [planes(p1), planes(p0), planes(p2)]
 
     base = scorer.score_pairs(temps, curs)
     mesh = make_mesh(8, "dp")
@@ -117,6 +131,10 @@ def test_sharded_reloc_matches_unsharded(level1_pair):
     np.testing.assert_allclose(np.asarray(sharded.T), np.asarray(base.T)[:3], atol=1e-4)
     err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(sharded.T[0], np.float64))
     assert np.linalg.norm(err) < 1.2e-2
+    # Distinctness is real: different pairs produce different poses.
+    Ts = np.asarray(sharded.T)
+    assert np.abs(Ts[0] - Ts[1]).max() > 1e-3
+    assert np.abs(Ts[0] - Ts[2]).max() > 1e-3
 
 
 # ---------------------------------------------------------------------------
