@@ -124,6 +124,37 @@ class TrackingConfig:
     # the static majority; rigid-scene splits stay below that except on
     # hard two-band scenes, which the >=3-voter rule exempts.
     consensus_tol: float = 0.4
+    # consensus_tol is specified in pixels ON THE CALIBRATION RIG
+    # (320x240, fx = 258.6 — the gauntlet geometry); at track time it is
+    # scaled by fx_full / consensus_ref_fx so the PHYSICAL (angular)
+    # flow threshold is resolution-invariant — without this a VGA run
+    # sees 2x the pixel flow per unit disagreement at every level index
+    # and rigid-noise splits break the 60% vote majority. (Measured
+    # round 3: at VGA, tol 0.4 px = no majority ever forms, tol 0.8
+    # unscaled-equivalent went 195 mm because template-aging inflation
+    # then pushed the MOVER below threshold; the scaling + rescue_refound
+    # together restore QVGA-class behavior.) QVGA runs are bit-identical
+    # (scale = 1).
+    consensus_ref_fx: float = 258.6
+    # Rescue -> keyframe REFOUND: when the hostage rescue fires
+    # (established drag), found a new keyframe from the rescued pose
+    # instead of continuing against the dragged template. Measured
+    # (round 3, VGA walking mover): mid-episode the vote path is deaf —
+    # baseline_scale sits at ~2.4 at the gauntlet's orbit baselines, so
+    # tol_eff ~1.9 px vs a 1.4 px mover signal — and repeated rescues
+    # oscillate (rescue -> clean frame -> drag resumes; 77-87 mm ATE).
+    # Every successful QVGA walking run recovered through a keyframe
+    # switch LANDING on the rescue frame by luck; this makes the switch
+    # deliberate. A rigid-scene false rescue costs one extra keyframe
+    # (benign; the refit re-converges to the same pose).
+    rescue_refound: bool = True
+    # Refound only when the rescue actually CORRECTED the pose (||t|| or
+    # angle of main-vs-rescued pose above these): a rigid-scene false
+    # rescue re-converges to the same pose (measured mm-level deltas on
+    # hard rigid frames; ungated refounds there cost 1.9 -> 10.8 mm ATE
+    # on a 14-frame loop), a genuine drag correction is tens of mm.
+    rescue_refound_min_trans: float = 0.02
+    rescue_refound_min_rot: float = 0.02
     # A stratum votes only if it holds this fraction of valid pixels.
     consensus_min_frac: float = 0.03
     # Error-outlier exclusion (fast movers beyond the linearization

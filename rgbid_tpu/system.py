@@ -373,6 +373,7 @@ class SlamSystem:
                 div_rot=float(res.div_rot),
                 cons_flags=float(res.cons_flags),
                 cons_flags_persist=float(res.cons_flags_persist),
+                rescue=bool(res.rescue > 0.5),
             )
         self._relocalized = False
         self.stats.append(rec)

@@ -219,14 +219,38 @@ def analyze(
     h_idx = jnp.argmin(err_for_min)
     err_h = err_for_min[h_idx]
     n_h = nk[h_idx]
-    others = voter & (jnp.arange(nk.shape[0]) != h_idx)
+    # The "unhappy majority" evidence pool excludes strata this frame
+    # already identified as movers (vote or error outlier): with 3
+    # voters, one vote-excluded mover at err ~1.2 lifts the 2-element
+    # others-median above both hostage thresholds and flags a HEALTHY
+    # low-error static stratum as the hostage (measured, QVGA walking
+    # mover f26-31: host landed on a 33%-pixel static stratum while the
+    # real mover was being masked by the vote path; the rescue then
+    # masked a third of the static scene and handed the re-track to the
+    # mover — 218 mm in one frame). In a genuine drag the dragging panel
+    # keeps every stratum inside the inflated vote tolerance (that
+    # blindness is WHY the hostage path exists), so nothing is excluded
+    # and this pool is unchanged there.
+    others = (
+        voter
+        & jnp.logical_not(excluded)
+        & (jnp.arange(nk.shape[0]) != h_idx)
+    )
     others_med = jnp.nanmedian(
         jnp.where(others, err_n, jnp.nan)
     )
     others_med = jnp.where(jnp.isfinite(others_med), others_med, 0.0)
+    # NOT gated on majority_ok (round 3): with a resolution-scaled tol
+    # plus template-aging inflation, a self-consistent dragging panel
+    # (founded into the template) keeps every stratum inside the vote
+    # tolerance — majority_ok stays True through the whole drag and a
+    # `not majority_ok` precondition disables the rescue exactly when it
+    # is the only working signal (measured at VGA: 195 mm, identical to
+    # consensus-off). The err signature carries its own guards: pixel
+    # minority, 2x error ratio, the 0.35 absolute decorrelation floor,
+    # and decide()'s persistence gate.
     hostage_on = (
-        jnp.logical_not(majority_ok)
-        & enough_voters
+        enough_voters
         & (n_h < 0.35 * n_total)
         & (others_med > 2.0 * jnp.maximum(err_h, 1e-3))
         # The majority must be DECORRELATION-unhappy, not jitter-unhappy:
@@ -296,7 +320,20 @@ def decide(
     # pyramid from the predicted pose.
     hostage_p = verdict.hostage * gate
     rescue = jnp.sum(hostage_p) > 0.5
-    excl = jnp.where(rescue, jnp.maximum(persistent, hostage_p), persistent)
+    # The rescue re-track must also mask every RECENTLY-identified mover
+    # stratum (high consecutive-flag count), not only this frame's flags:
+    # template-aging tolerance inflation can let an established mover
+    # slip inside the vote tolerance on exactly the rescue frame, and a
+    # re-track that masks the hostage but KEEPS the mover hands the pose
+    # to the mover (measured: 218 mm in one frame, QVGA walking f31,
+    # prev_counts on the mover stratum = 8 while that frame's vote
+    # missed it).
+    recent = (prev_counts >= float(persist)).astype(jnp.float32)
+    excl = jnp.where(
+        rescue,
+        jnp.maximum(jnp.maximum(persistent, hostage_p), recent),
+        persistent,
+    )
     act = triggered | rescue
     member = jnp.where(act, 1.0 - excl, jnp.ones_like(nk))
     frac = jnp.sum(excl * nk) / n_total

@@ -99,6 +99,11 @@ class StepResult(NamedTuple):
     div_rot: jax.Array
     cons_flags: jax.Array
     cons_flags_persist: jax.Array
+    # () f32: 1.0 when a consensus rescue re-track fired AND materially
+    # corrected the pose this frame (the refound trigger — see
+    # TrackingConfig.rescue_refound); exported so diagnostics can see
+    # rescue activity per frame.
+    rescue: jax.Array
 
     def pack(self) -> jax.Array:
         flat = [jnp.ravel(x).astype(jnp.float32) for x in self]
@@ -111,7 +116,7 @@ class StepResult(NamedTuple):
         v = np.asarray(vec)
         L = levels
         out, o = [], 0
-        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), (), (), (), (), (), (), ()]:
+        for shape in [(4, 4), (6, 6), (), (), (), (L,), (L,), (L,), (), (), (), (), (), (), (), (), (), ()]:
             n = int(np.prod(shape)) if shape else 1
             out.append(v[o : o + n].reshape(shape) if shape else v[o])
             o += n
@@ -255,7 +260,23 @@ def _process_frame_impl(
         | (t_norm > kcfg.max_translation)
         | (angle > kcfg.max_rotation)
         | (sigma_t > kcfg.max_pose_sigma)
-    ) & jnp.logical_not(lost)
+    )
+    if (
+        getattr(tcfg, "rescue_refound", False)
+        and getattr(tcfg, "consensus", False)
+        and track.rescue is not None
+    ):
+        # Rescue -> REFOUND (see TrackingConfig.rescue_refound): a
+        # hostage rescue means established drag against this template.
+        # Mid-episode the vote path is deaf (template-aging inflates its
+        # threshold ~2.4x at gauntlet baselines), so repeated rescues
+        # oscillate: rescue -> one clean frame -> drag resumes. Founding
+        # a fresh keyframe at the rescued (static-locked) pose restarts
+        # the episode at small baseline where the vote path has full
+        # sensitivity — the measured recovery pattern behind every
+        # successful walking-mover run.
+        switch = switch | (track.rescue > 0.5)
+    switch = switch & jnp.logical_not(lost)
 
     def keep_branch(operands):
         kf, cur, T, cov = operands
@@ -382,6 +403,7 @@ def _process_frame_impl(
         div_rot=div_r,
         cons_flags=stress_n,
         cons_flags_persist=stress_p,
+        rescue=track.rescue,
     )
     return res.pack(), kf2, motion2
 

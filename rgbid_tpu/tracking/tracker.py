@@ -150,6 +150,11 @@ class TrackResult(NamedTuple):
     # count — a consensus episode masking 20-35% of the template would
     # otherwise read as tracking loss.
     kf_count: jax.Array = None
+    # () f32: 1.0 when a hostage/divergence RESCUE re-track fired this
+    # frame. The keyframe-switch decision reads it (rescue_refound):
+    # a rescue means established drag against THIS template, and the
+    # measured recovery pattern is refounding, not repeated rescues.
+    rescue: jax.Array = None
 
 
 def _track_impl(
@@ -215,6 +220,7 @@ def _track_impl(
     consensus_frac = jnp.asarray(0.0, jnp.float32)
     n_bins = getattr(cfg, "consensus_bins", 6)
     cons_excluded = jnp.zeros((n_bins,), jnp.float32)
+    rescue_out = jnp.asarray(0.0, jnp.float32)
     consensus_on = getattr(cfg, "consensus", False) and esm_mode
     det_l = min(getattr(cfg, "consensus_level", 2), levels - 1)
     if consensus_on:
@@ -423,8 +429,18 @@ def _track_impl(
                 + 12.0 * jnp.maximum(t_norm - 0.06, 0.0)
                 + 8.0 * jnp.maximum(ang - 0.05, 0.0)
             )
+            # Resolution-invariant tolerance: consensus_tol is pixels on
+            # the 320x240/fx=258.6 calibration rig; scale by the actual
+            # full-res focal so the angular-flow threshold matches at
+            # any resolution (intr_l.fx * 2^level == fx_full, so the
+            # scale is level-independent). See consensus_ref_fx in
+            # config.py for the measured VGA failure without this.
+            tol_l = cfg.consensus_tol * (
+                intr_l.fx * (2.0 ** level)
+                / getattr(cfg, "consensus_ref_fx", 258.6)
+            )
             verdict = _cons.analyze(
-                Hk, bk, nk, Gk, ek, cfg.consensus_tol,
+                Hk, bk, nk, Gk, ek, tol_l,
                 cfg.consensus_min_frac,
                 getattr(cfg, "consensus_err_ratio", 4.0),
                 getattr(cfg, "consensus_err_floor", 1.0),
@@ -519,6 +535,7 @@ def _track_impl(
             consensus_frac = jnp.maximum(
                 consensus_frac, jnp.where(div_fire, frac, 0.0)
             )
+        T_main = main_out[0]
         (
             T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied
         ) = jax.lax.cond(
@@ -527,6 +544,25 @@ def _track_impl(
             lambda m: main_out,
             rescue_member,
         )
+        # rescue_out feeds the keyframe-REFOUND decision (rescue_refound)
+        # and is gated on the rescue's pose CORRECTION, not on the rescue
+        # having fired: on a rigid false positive the masked re-track
+        # re-converges to the main pose (measured: a 14-frame rigid loop
+        # had hostage fires on 3 hard frames whose rescues landed at the
+        # same pose — ungated refounds there took 1.9 -> 10.8 mm ATE by
+        # baking founding error into fresh keyframes), while a genuine
+        # drag rescue moves the pose by tens of mm (walking mover:
+        # 85-260 mm prior divergence on fighting frames). Only a rescue
+        # that actually CORRECTED something is evidence of drag worth
+        # refounding over.
+        D_r = se3.inv(T_main) @ T
+        corr_t = jnp.linalg.norm(D_r[:3, 3])
+        corr_r = se3.rotation_angle(D_r[:3, :3])
+        corrected = (
+            (corr_t > getattr(cfg, "rescue_refound_min_trans", 0.02))
+            | (corr_r > getattr(cfg, "rescue_refound_min_rot", 0.02))
+        )
+        rescue_out = (rescue_any & corrected).astype(jnp.float32)
 
     # Overlap vs the APPLIED finest-level template mask: when consensus
     # masks strata out, they must leave the overlap denominator too, or a
@@ -569,6 +605,7 @@ def _track_impl(
         consensus_frac=consensus_frac,
         cons_excluded=cons_excluded,
         kf_count=kf_count,
+        rescue=rescue_out,
     )
 
 
