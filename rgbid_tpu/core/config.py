@@ -67,6 +67,23 @@ class TrackingConfig:
     # mm). Same principle as the reference's fusion occlusion gate,
     # applied to tracking.
     occlusion_gate: bool = True
+    # HARD CAP (1/m) on the occlusion gate's threshold at the finest
+    # pyramid level(s) (levels <= occ_gate_cap_level; 0.0 disables).
+    # The adaptive gate width ((2*gate_sigmas)^2 sigma_xi^2 + 0.05^2)
+    # balloons to ~0.3 1/m exactly when a fast mover is dragging the
+    # pose (its contamination inflates sigma_xi), letting the mover's
+    # 0.15-0.46 1/m inverse-depth disagreement through. A BALLISTIC
+    # mover (0.04+ m/frame) outruns its own template-stratum consensus
+    # mask — it covers fresh background every frame, so the only
+    # per-pixel handle on its CURRENT position is this gate. By level 0
+    # the pose is sub-pixel and genuine inverse-depth residual spread is
+    # at the noise floor (~0.01 1/m measured), so a 0.10 cap is ~10
+    # sigma for rigid content while cutting panel-over-background
+    # contamination (>= 0.155 1/m at the gauntlet geometry). Coarse
+    # levels keep the adaptive width so genuinely misaligned frames can
+    # still be pulled in.
+    occ_gate_cap: float = 0.10
+    occ_gate_cap_level: int = 0
     # Affine illumination compensation (ESM path only; ignored in IC
     # mode): estimate gain/bias (I_cur ~= a * I_kf + b) once per frame by
     # alignment-free moment matching and bake it into the tracking
@@ -100,6 +117,18 @@ class TrackingConfig:
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
     # the stored J at r -> 0) is unchanged. Use "f32" to disable.
     jac_dtype: str = "bf16"
+    # Storage dtype for the per-frame sampling stack and the loop-invariant
+    # tracking planes the per-iteration program re-reads from HBM every
+    # IRLS iteration (current-frame [I, xi, mask(, grads)] stack fed to the
+    # 4-corner gather, template intensity, hoisted backprojected points
+    # Px/Py/Pz). "bf16" halves that traffic; all residual/Jacobian MATH
+    # stays f32 (bilinear blend, kernel loads cast up). Quantization:
+    # intensity step ~2e-3 at 0.5 — below the u8 sensor quantization
+    # (1/255) already accepted at upload; xi step ~4e-3 at 1/m — below the
+    # gauntlet sensor noise (5e-3) and TUM depth noise (~1.5e-2 at 1 m).
+    # The IRLS fixed point is unchanged (stored planes enter residuals,
+    # not accumulators). Use "f32" to disable.
+    plane_dtype: str = "f32"
     # Depth-stratified motion consensus (tracking/consensus.py): detects a
     # coherently moving, information-dominant foreground (the documented
     # breaking point of non-segmenting dense VO, reference included) by

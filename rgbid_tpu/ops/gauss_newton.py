@@ -223,6 +223,7 @@ def _esm_pointwise(
     use_geometric: bool,
     gate_sigmas: float,
     occlusion_gate: bool,
+    gate_cap2: float = 0.0,
 ):
     """Shared per-pixel ESM math: warp, sample, residuals, occlusion
     gate, Student-t weights, warp/prediction Jacobians, ESM gradient
@@ -239,7 +240,9 @@ def _esm_pointwise(
     from .warp import sample_stack7, transform_project
 
     avg_grads = cur_stack.shape[0] >= 7
-    Px, Py, Pz = kf_points
+    # Storage may be bf16 (TrackingConfig.plane_dtype); all math is f32.
+    Px, Py, Pz = (p.astype(jnp.float32) for p in kf_points)
+    kf_int = kf_int.astype(jnp.float32)
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     samples, mask_ok, inb = sample_stack7(cur_stack, up, vp)
     i_s, xi_s = samples[0], samples[1]
@@ -261,6 +264,19 @@ def _esm_pointwise(
     # 3-sigma-only gate biased geometry-only scenes by ~1.5 cm).
     if occlusion_gate and use_geometric:
         thresh = (2.0 * gate_sigmas) ** 2 * sigma2_xi + 0.05**2
+        # HARD CAP (round-3 ballistic fix; TrackingConfig.occ_gate_cap):
+        # the adaptive term balloons exactly when a fast mover is
+        # dragging the pose (contamination inflates sigma_xi -> the gate
+        # opens to ~0.3 1/m and the mover's 0.15-0.46 1/m inverse-depth
+        # disagreement sails through). A fast mover outruns its own
+        # TEMPLATE-stratum mask (it covers fresh background every frame),
+        # so the only per-pixel signal left at its CURRENT position is
+        # this gate. The caller caps the finest level only: by level 0
+        # the pose is sub-pixel and genuine residual spread is at the
+        # noise floor (measured ~0.01 1/m), while coarse levels keep the
+        # adaptive width so real misalignment can still be pulled in.
+        if gate_cap2 > 0.0:
+            thresh = jnp.minimum(thresh, gate_cap2)
         w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
     else:
         w_gate = 1.0
@@ -333,6 +349,7 @@ def esm_residuals_and_normal_eq(
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
     occlusion_gate: bool = False,
+    gate_cap: float = 0.0,
 ) -> IrlsResult:
     """ESM variant (XLA twin of the Pallas ESM kernel).
 
@@ -354,6 +371,7 @@ def esm_residuals_and_normal_eq(
     ) = _esm_pointwise(
         T, kf_int, kf_points, kf_mask, kf_grads, cur_stack7, intr, nu,
         sigma2_int, sigma2_xi, use_geometric, gate_sigmas, occlusion_gate,
+        gate_cap2=gate_cap * gate_cap,
     )
 
     n_valid = jnp.sum(valid)

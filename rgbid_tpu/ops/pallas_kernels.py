@@ -450,9 +450,11 @@ def _esm_kernel(
     kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric, avg_grads=True,
     occlusion_gate=False,
 ):
-    """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, 0] where
-    r3* is the third rotation row of the current pose estimate (for the
-    exact geometric-prediction Jacobian)."""
+    """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, gate_cap2]
+    where r3* is the third rotation row of the current pose estimate
+    (for the exact geometric-prediction Jacobian) and gate_cap2 is the
+    squared hard cap on the occlusion-gate threshold (0 = uncapped; see
+    the XLA twin and TrackingConfig.occ_gate_cap)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -464,7 +466,9 @@ def _esm_kernel(
     s2i = par_ref[0, 2]
     s2x = par_ref[0, 3]
     valid = valid_ref[:]
-    kf_int = kf_int_ref[:]
+    # Template planes may be stored bf16 (TrackingConfig.plane_dtype);
+    # all residual/Jacobian math runs f32.
+    kf_int = kf_int_ref[:].astype(jnp.float32)
     rho = rho_ref[:]
     i_s = smp_ref[0]
     xi_s = smp_ref[1]
@@ -473,15 +477,18 @@ def _esm_kernel(
     # Gate occluded pixels out of the WEIGHTS only (sigma stats, n_valid
     # and inlier diagnostics stay ungated — see the XLA twin for why).
     if occlusion_gate and use_geometric:
-        w_gate = (r_x * r_x <= 4.0 * gate2 * s2x + 0.05**2).astype(jnp.float32)
+        thresh = 4.0 * gate2 * s2x + 0.05**2
+        cap2 = par_ref[0, 7]
+        thresh = jnp.where(cap2 > 0.0, jnp.minimum(thresh, cap2), thresh)
+        w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
     else:
         w_gate = 1.0
     w_i = (nu + 1.0) / (nu + r_i * r_i / s2i) * valid * w_gate / s2i
     w_x = (nu + 1.0) / (nu + r_x * r_x / s2x) * valid * w_gate / s2x
 
-    Px = px_ref[:]
-    Py = py_ref[:]
-    Pz = pz_ref[:]
+    Px = px_ref[:].astype(jnp.float32)
+    Py = py_ref[:].astype(jnp.float32)
+    Pz = pz_ref[:].astype(jnp.float32)
     iz = 1.0 / jnp.maximum(Pz, 1e-6)
     iz2 = iz * iz
     zero = jnp.zeros_like(Px)
@@ -558,6 +565,7 @@ def esm_residuals_and_normal_eq_pallas(
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
     occlusion_gate: bool = False,
+    gate_cap: float = 0.0,
 ) -> IrlsResult:
     """Pallas twin of gauss_newton.esm_residuals_and_normal_eq.
 
@@ -586,7 +594,8 @@ def esm_residuals_and_normal_eq_pallas(
     par = jnp.stack(
         [jnp.asarray(intr.fx, jnp.float32), jnp.asarray(intr.fy, jnp.float32),
          jnp.asarray(sigma2_int, jnp.float32), jnp.asarray(sigma2_xi, jnp.float32),
-         T[2, 0], T[2, 1], T[2, 2], jnp.asarray(0.0, jnp.float32)]
+         T[2, 0], T[2, 1], T[2, 2],
+         jnp.asarray(gate_cap * gate_cap, jnp.float32)]
     ).reshape(1, 8)
     out = pl.pallas_call(
         functools.partial(

@@ -190,10 +190,30 @@ def analyze(
     err_n = ek * inv_n
     err_med = jnp.nanmedian(jnp.where(voter, err_n, jnp.nan))
     err_med = jnp.where(jnp.isfinite(err_med), err_med, 0.0)
-    excluded_err = voter & (
-        err_n > jnp.maximum(err_ratio * err_med, err_floor) * baseline_scale
+    # The RATIO term scales with template aging (the median itself rises
+    # with baseline, and the multiplier keeps headroom on top of that);
+    # the ABSOLUTE floor deliberately does NOT (round 3): a per-pixel
+    # weighted error above err_floor means decorrelation at any baseline
+    # (rigid hard frames measure 0.1-0.3, a dragged/occluded stratum
+    # 1.0-4.1), and scaling the floor suppressed the ballistic mover's
+    # onset exactly when the median was still tiny (measured QVGA seed-3:
+    # mover 1.08 vs scaled threshold 1.11 at f24, 1.48 vs 1.55 at f25 —
+    # two near-misses that let a 50 mm/frame drag establish).
+    # PER-STRATUM pixel-minority guard (round 3): a mover is a pixel
+    # minority by construction, but a stratum's error also saturates
+    # when it is the DECORRELATING STATIC MAJORITY of an established
+    # drag (the pose rides another stratum; this one's residuals climb
+    # through 1.0+ exactly like a mover's). Without the guard the err
+    # test flagged a 33-40% static stratum mid-drag and the masked
+    # refit handed the fine levels to the actual mover (measured QVGA
+    # seed-3 ballistic: +45 mm on the very frames the refit fired).
+    # The hostage test owns the dragged-majority signature; this test
+    # owns fast MINORITY movers.
+    excluded_err = (
+        voter
+        & (nk < 0.35 * n_total)
+        & (err_n > jnp.maximum(err_ratio * err_med * baseline_scale, err_floor))
     )
-    excluded = excluded_vote | excluded_err
     # A CLEAR majority (60%), not a bare one: a genuine mover is a 15-30%
     # pixel minority, leaving the static consensus at 70-85%; an ambiguous
     # 48/52 split between static strata (hard frame, or a mover present in
@@ -206,6 +226,18 @@ def analyze(
     # handheld scene).
     enough_voters = jnp.sum(voter) >= 3
     majority_ok = (support[best] > 0.6 * n_total) & enough_voters
+    # A vote exclusion is only MEANINGFUL when a genuine majority exists
+    # (round 3): with two ~50/50 voters, "the other one disagrees with
+    # best" flags a static band every frame. decide() already refuses to
+    # ACT without majority_ok, but the raw flag feeds the streak counter
+    # and the streak drives the episode mask — a wide-baseline two-voter
+    # stretch was measured building a 7-frame streak on a 47%-pixel
+    # STATIC stratum, and the episode mask then crippled the next
+    # founded template (QVGA ballistic f26: 49% of static masked at
+    # frame start, mover captured the coarse solve, +82 mm in one
+    # frame). The err/hostage signatures keep their own guards and are
+    # deliberately NOT gated here.
+    excluded = (excluded_vote & majority_ok) | excluded_err
 
     # HOSTAGE detection (established drag): once the pose has been
     # dragged for a couple of frames, the static majority's residuals
@@ -215,58 +247,53 @@ def analyze(
     # low-error one, it is a pixel minority, and the majority's error is
     # a multiple of its. Flag it; decide() turns persistent hostage flags
     # into a full masked RE-TRACK from the predicted pose.
-    err_for_min = jnp.where(voter, err_n, jnp.inf)
-    h_idx = jnp.argmin(err_for_min)
-    err_h = err_for_min[h_idx]
-    n_h = nk[h_idx]
-    # The "unhappy majority" evidence pool excludes strata this frame
-    # already identified as movers (vote or error outlier): with 3
-    # voters, one vote-excluded mover at err ~1.2 lifts the 2-element
-    # others-median above both hostage thresholds and flags a HEALTHY
-    # low-error static stratum as the hostage (measured, QVGA walking
-    # mover f26-31: host landed on a 33%-pixel static stratum while the
-    # real mover was being masked by the vote path; the rescue then
-    # masked a third of the static scene and handed the re-track to the
-    # mover — 218 mm in one frame). In a genuine drag the dragging panel
-    # keeps every stratum inside the inflated vote tolerance (that
-    # blindness is WHY the hostage path exists), so nothing is excluded
-    # and this pool is unchanged there.
-    others = (
-        voter
-        & jnp.logical_not(excluded)
-        & (jnp.arange(nk.shape[0]) != h_idx)
-    )
-    others_med = jnp.nanmedian(
-        jnp.where(others, err_n, jnp.nan)
-    )
+    # The hostage is identified by INFORMATION DOMINANCE, not by argmin
+    # error (round 3): the stratum holding a dragged pose is the one
+    # whose Fisher-information share vastly exceeds its pixel share —
+    # that dominance is the very mechanism of the attack (1/z^2-amplified
+    # Jacobians + Student-t weights that STAY high on the aligned mover
+    # while the decorrelating majority gets downweighted, which amplifies
+    # the ratio further). The previous argmin-error rule landed on the
+    # FAR background band instead (distant pixels have naturally tiny
+    # residuals and near-zero information; measured QVGA ballistic: bin1
+    # at 49% pixels/lowest err failed the minority guard and the true
+    # mover at 3.7x dominance was never named).
+    info = jnp.trace(Hk, axis1=1, axis2=2)  # raw-sum J^T W J per stratum
+    info_share = info / jnp.maximum(jnp.sum(info), 1e-12)
+    pix_share = nk / n_total
+    dominant = voter & (info_share > 2.0 * jnp.maximum(pix_share, 1e-6))
+    # The "unhappy majority" evidence pool: voters that are neither
+    # already-identified movers nor dominance candidates.
+    others = voter & jnp.logical_not(excluded) & jnp.logical_not(dominant)
+    others_med = jnp.nanmedian(jnp.where(others, err_n, jnp.nan))
     others_med = jnp.where(jnp.isfinite(others_med), others_med, 0.0)
-    # NOT gated on majority_ok (round 3): with a resolution-scaled tol
-    # plus template-aging inflation, a self-consistent dragging panel
+    # NOT gated on majority_ok: with a resolution-scaled tol plus
+    # template-aging inflation, a self-consistent dragging panel
     # (founded into the template) keeps every stratum inside the vote
     # tolerance — majority_ok stays True through the whole drag and a
     # `not majority_ok` precondition disables the rescue exactly when it
     # is the only working signal (measured at VGA: 195 mm, identical to
-    # consensus-off). The err signature carries its own guards: pixel
-    # minority, 2x error ratio, the 0.35 absolute decorrelation floor,
-    # and decide()'s persistence gate.
-    hostage_on = (
-        enough_voters
-        & (n_h < 0.35 * n_total)
-        & (others_med > 2.0 * jnp.maximum(err_h, 1e-3))
-        # The majority must be DECORRELATION-unhappy, not jitter-unhappy:
-        # rigid-scene hard-frame errors sit at ~0.1-0.3 per pixel (fixed
-        # init sigmas) while a dragged majority climbs through 0.4-1.1
-        # (measured) on its way to the Student-t saturation ~nu+1.
-        # Deliberately NOT scaled by baseline_scale: during a drag the
-        # pose-to-keyframe baseline INCLUDES the drag, so scaling would
-        # suppress the rescue exactly when it is needed (measured); the
-        # hostage path's own five guards carry the false-positive load.
+    # consensus-off). Guards below carry the false-positive load; the
+    # decorrelation floor (0.35) is deliberately NOT baseline-scaled —
+    # rigid hard-frame errors sit at ~0.1-0.3 while a dragged majority
+    # climbs through 0.4-1.1 (measured), and during a drag the baseline
+    # INCLUDES the drag so scaling would suppress the rescue exactly
+    # when it is needed.
+    hostage = (
+        dominant
+        & enough_voters
+        & (nk < 0.35 * n_total)
+        & (others_med > 2.0 * jnp.maximum(err_n, 1e-3))
         & (others_med > 0.35)
-    )
-    hostage = jnp.where(
-        hostage_on,
-        jax.nn.one_hot(h_idx, nk.shape[0], dtype=jnp.float32),
-        jnp.zeros_like(nk),
+    ).astype(jnp.float32)
+    # A live hostage EXPLAINS the majority's decorrelation: suppress the
+    # error-outlier flags that frame (they point at the dragged STATIC
+    # majority — masking it hands the refit to the actual mover;
+    # measured: the streak built on a 33% static band for the whole
+    # episode while the dominant panel stayed unflagged).
+    hostage_any = jnp.sum(hostage) > 0.5
+    excluded = jnp.where(
+        hostage_any, excluded_vote & majority_ok, excluded
     )
     return ConsensusResult(
         excluded=excluded.astype(jnp.float32),

@@ -49,6 +49,7 @@ def preprocess_frame(
     max_depth: float = 10.0,
     esm: bool = False,
     esm_min_level: int = 0,
+    plane_dtype=jnp.float32,
 ) -> Tuple[FrameLevel, ...]:
     """K1 + K3: raw sensor planes -> intensity/inverse-depth pyramids.
 
@@ -59,7 +60,9 @@ def preprocess_frame(
     """
     intensity = image.intensity_from_rgb(rgb_u8)
     xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
-    return preprocess_planes(intensity, xi, mask, levels, esm, esm_min_level)
+    return preprocess_planes(
+        intensity, xi, mask, levels, esm, esm_min_level, plane_dtype
+    )
 
 
 def preprocess_planes(
@@ -69,6 +72,7 @@ def preprocess_planes(
     levels: int,
     esm: bool = False,
     esm_min_level: int = 0,
+    plane_dtype=jnp.float32,
 ) -> Tuple[FrameLevel, ...]:
     """Pyramid construction from already-converted level-0 planes (the
     production path unpacks a gray-u8 + depth-u16 packed upload instead of
@@ -85,16 +89,24 @@ def preprocess_planes(
     for l in range(levels):
         stack7 = None
         if esm:
+            # plane_dtype="bf16" stores the gather stack half-width: the
+            # 4-corner bilinear gather re-reads it every IRLS iteration
+            # and it dominates the finest level's per-iteration HBM
+            # traffic. The blend weights are f32, so sampled values come
+            # out f32 and all residual math downstream is unchanged; the
+            # {0,1} mask channel is exact in bf16.
             if l >= esm_min_level:
                 gx_i, gy_i = image.gradients_unmasked(ints[l])
                 gx_x, gy_x = image.gradients(xis[l], masks[l])
                 stack7 = jnp.stack(
                     [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
-                )
+                ).astype(plane_dtype)
             else:
                 # Template-gradient levels: no current-frame gradients are
                 # sampled, so materialize only the 3 tracker planes.
-                stack7 = jnp.stack([ints[l], xis[l], masks[l]])
+                stack7 = jnp.stack(
+                    [ints[l], xis[l], masks[l]]
+                ).astype(plane_dtype)
         out.append(FrameLevel(ints[l], xis[l], masks[l], stack7))
     return tuple(out)
 

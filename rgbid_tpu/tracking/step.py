@@ -188,8 +188,14 @@ def _process_frame_impl(
     xi, mask = _image.inverse_depth_from_u16(
         depth_u16, cfg.depth_scale, cfg.min_depth, cfg.max_depth
     )
+    plane_dtype = (
+        jnp.bfloat16
+        if getattr(tcfg, "plane_dtype", "f32") in ("bf16", "bf16-stack")
+        else jnp.float32
+    )
     cur = preprocess_planes(
-        intensity, xi, mask, tcfg.levels, esm, getattr(tcfg, "esm_min_level", 0)
+        intensity, xi, mask, tcfg.levels, esm,
+        getattr(tcfg, "esm_min_level", 0), plane_dtype,
     )
     # Constant-velocity prediction (on device; f32 compose chains need the
     # Newton-polar re-projection onto SO(3) — see core/se3.py).
@@ -381,7 +387,10 @@ def _process_frame_impl(
         delta=delta_new,
         lost_count=jnp.where(lost, motion.lost_count + 1.0, 0.0),
         # Persistence memory: this frame's raw disagreement flags (zeroed
-        # on lost frames so a recovery can't inherit stale dynamics).
+        # on lost frames so a recovery can't inherit stale dynamics —
+        # keeping the streak through a coast was measured to hold the
+        # episode mask down across the whole lost stretch and block
+        # re-lock entirely on the QVGA ballistic clip).
         cons_excluded=jnp.where(lost, 0.0, track.cons_excluded),
     )
 

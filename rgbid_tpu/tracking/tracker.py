@@ -20,6 +20,7 @@ precomputed (12, H, W) template Jacobian field).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -30,6 +31,10 @@ from ..core.camera import Intrinsics, level_intrinsics
 from ..core.config import TrackingConfig
 from ..ops import gauss_newton
 from .frames import FrameLevel, KeyframeLevel
+
+# Per-level pose trace (jax.debug.print inside the chained program) for
+# offline drag forensics; set RGBID_DEBUG_LEVELS=1. Not a public knob.
+_DEBUG_LEVELS = bool(os.environ.get("RGBID_DEBUG_LEVELS"))
 
 
 def _select_irls(cfg: TrackingConfig):
@@ -238,6 +243,40 @@ def _track_impl(
             if cons_prev is not None
             else jnp.full((n_bins,), 100.0, jnp.float32)
         )
+        if cons_prev is not None:
+            # EPISODE MASK (round-3 ballistic fix): strata with a live
+            # streak start EXCLUDED at EVERY level — including the
+            # coarsest, which the per-frame vote can never protect (the
+            # vote runs after level det_l). The level trace shows why
+            # this is the load-bearing piece: during a ballistic drag
+            # the motion prior carries the drag velocity, the coarse
+            # level (where the mover's 1/z^2 information dominates the
+            # blurred image) CONFIRMS it, and by level 0 the static
+            # majority sits ~5 px outside its linearization basin —
+            # every level polishes the mover's pose. Masking the mover
+            # before the coarse solve leaves the static majority within
+            # its coarse basin (a 5 px level-0 error is 0.6 px at level
+            # 3), so the pyramid pulls BACK each frame instead of
+            # confirming the drag.
+            # CONDITIONAL one-bin dilation: a mover near a bin edge (the
+            # panel's xi shifts with camera range) can straddle into the
+            # neighbor bin at frame start before any vote has credited
+            # it — mask a full-streak stratum's neighbor too, but ONLY
+            # if that neighbor has a live streak of its own (>= 1):
+            # blind dilation was measured to mask 3 of 6 depth bands on
+            # the ballistic clip and starve re-lock into a permanent
+            # coast.
+            persist_f = float(getattr(cfg, "consensus_persist", 3))
+            hot = (cons_hist >= persist_f).astype(jnp.float32)
+            zpad1 = jnp.zeros((1,), jnp.float32)
+            hot_n = jnp.maximum(
+                jnp.concatenate([zpad1, hot[:-1]]),
+                jnp.concatenate([hot[1:], zpad1]),
+            )
+            hot = jnp.maximum(
+                hot, hot_n * (cons_hist >= 1.0).astype(jnp.float32)
+            )
+            member = 1.0 - hot
         rescue_flag = jnp.asarray(False)
         flags_any = jnp.zeros((n_bins,), jnp.float32)
         nk_last = jnp.ones((n_bins,), jnp.float32)
@@ -254,6 +293,22 @@ def _track_impl(
             row_offset = jax.lax.axis_index(axis_name) * kl.xi.shape[0]
         kf_points = backproject_grid(kl.xi, intr_l, row_offset)
         esm = getattr(cfg, "jacobian", "ic") == "esm"
+        # Finest-level hard cap on the occlusion-gate threshold (see
+        # TrackingConfig.occ_gate_cap): 0.0 = adaptive-only at this level.
+        gate_cap_l = (
+            getattr(cfg, "occ_gate_cap", 0.0)
+            if level <= getattr(cfg, "occ_gate_cap_level", 0)
+            else 0.0
+        )
+        # plane_dtype="bf16" stores the LOOP-INVARIANT planes the
+        # per-iteration program re-reads from HBM half-width (hoisted
+        # backprojected points + template intensity; the frame's gather
+        # stack is cast at preprocess). Consumers cast loads back to f32
+        # before any math — see config.TrackingConfig.plane_dtype.
+        kf_int_t = kl.intensity
+        if esm and getattr(cfg, "plane_dtype", "f32") in ("bf16", "bf16-points"):
+            kf_points = tuple(p.astype(jnp.bfloat16) for p in kf_points)
+            kf_int_t = kl.intensity.astype(jnp.bfloat16)
 
         def run(T0, s2i0, s2x0, H0, mask_l):
             """One pyramid level's IRLS loop from (T0, sigmas) with the
@@ -264,10 +319,11 @@ def _track_impl(
                 it, T, s2i, s2x, _H, _e, _i, _n, _step = carry
                 if esm:
                     res = irls(
-                        T, kl.intensity, kf_points, mask_l, kl.jac,
+                        T, kf_int_t, kf_points, mask_l, kl.jac,
                         cl.stack7, intr_l, cfg.student_t_nu, s2i, s2x,
                         cfg.use_geometric, cfg.gate_sigmas,
                         getattr(cfg, "occlusion_gate", False),
+                        gate_cap=gate_cap_l,
                     )
                 else:
                     res = irls(
@@ -401,6 +457,11 @@ def _track_impl(
         T, s2i, s2x, H_last, err, inl, nv, _ = run(
             T, s2i, s2x, H_last, mask_l
         )
+        if _DEBUG_LEVELS:
+            jax.debug.print(
+                "  L{l} t={t} err={e:.3f} nv={n:.0f}",
+                l=level, t=jnp.round(T[:3, 3] * 1e3, 1), e=err, n=nv,
+            )
 
         if consensus_on and 1 <= level <= det_l:
             # The vote uses FIXED generous init sigmas (the adaptive ones
@@ -409,11 +470,21 @@ def _track_impl(
             # gate that strips CROSS-DEPTH pollution (template pixels
             # warping onto a foreground object) while a fronto-parallel
             # mover's own strata sample their own depth and keep their
-            # coherent flow signal. Strata already masked out upstream
-            # have nk ~= 0 here and cannot vote again.
-            strata = _cons.stratum_onehot(kl.xi, mask_l, edges)
+            # coherent flow signal. The stats run on the FULL template
+            # mask, NOT the member-masked mask_l (round 3): an
+            # episode-masked mover must stay MONITORED — it keeps
+            # disagreeing with the (static-locked) converged pose, keeps
+            # its streak alive, and stays masked for the whole episode;
+            # when it leaves the view (nk -> 0, not a voter) or stops
+            # moving (agrees), the flags stop, the streak decays, and
+            # the stratum re-enters the consensus. With the old masked
+            # stats a masked stratum had nk ~= 0, could never re-flag,
+            # and the episode self-terminated after `persist` frames of
+            # decay — re-admitting a mover still mid-sweep.
+            full_mask_l = kl.mask
+            strata = _cons.stratum_onehot(kl.xi, full_mask_l, edges)
             Hk, bk, nk, Gk, ek = gauss_newton.stratified_normal_eq(
-                T, kl.intensity, kf_points, mask_l, kl.jac, cl.stack7,
+                T, kl.intensity, kf_points, full_mask_l, kl.jac, cl.stack7,
                 intr_l, cfg.student_t_nu,
                 jnp.asarray(cfg.init_sigma_int**2, jnp.float32),
                 jnp.asarray(cfg.init_sigma_xi**2, jnp.float32),
@@ -463,8 +534,17 @@ def _track_impl(
                 consensus_frac, decision.excluded_frac
             )
             rescue_flag = rescue_flag | decision.rescue
-            rerun_here = decision.triggered & jnp.logical_not(
-                decision.rescue
+            # Rerun only when the decision NEWLY excluded a stratum that
+            # was still a member when this level ran: during an episode
+            # the mover is already masked at every level (episode mask),
+            # decide() keeps flagging it, and an unconditional rerun
+            # would pay a full redundant IRLS pass per vote level per
+            # frame for an identical mask.
+            mask_changed = jnp.any(member2 < member)
+            rerun_here = (
+                decision.triggered
+                & mask_changed
+                & jnp.logical_not(decision.rescue)
             )
 
             def _masked_rerun(_):
@@ -489,8 +569,45 @@ def _track_impl(
     inls_s = jnp.stack(inliers)
     nvs_s = jnp.stack(nvalids)
     if consensus_on:
-        # Update the consecutive-flag counts for the next frame.
-        cons_excluded = jnp.where(flags_any > 0.5, cons_hist + 1.0, 0.0)
+        # Update the per-stratum streak counts for the next frame.
+        # LEAKY + NEIGHBOR-CREDITING (round-3 ballistic fix): the old
+        # hard-reset counter (flagged ? c+1 : 0) never reached the
+        # persistence gate during a ballistic drag — detection flickers
+        # (tolerance/floor aging inflation lets the mover slip on ~30% of
+        # episode frames) and the mover's inverse depth crosses a bin
+        # edge when the camera closes range, so the streak restarted from
+        # zero mid-episode (measured: QVGA seed-3 ballistic, flags on
+        # f20-f33 with 1-2 frame gaps and a bin2->bin3 migration, streak
+        # stuck at 0-2, 548 mm raw ATE while the vote SAW the mover).
+        # A flagged stratum now inherits the best streak in its 3-bin
+        # depth neighborhood (migration keeps the streak) and unflagged
+        # strata decay by 1 instead of resetting (flicker keeps it).
+        # Isolated hard-frame false flags still die out (1, 0, ...) and
+        # sparse repeats (every 3rd frame) can never reach the gate.
+        flagged = flags_any > 0.5
+        zpad = jnp.zeros((1,), jnp.float32)
+        neigh = jnp.maximum(
+            cons_hist,
+            jnp.maximum(
+                jnp.concatenate([zpad, cons_hist[:-1]]),
+                jnp.concatenate([cons_hist[1:], zpad]),
+            ),
+        )
+        # Saturate the streak a little above the gate so a departed or
+        # stopped mover unmasks within a few clean frames (an uncapped
+        # count after a 15-frame episode would keep a now-static depth
+        # band masked for 15 more).
+        streak_cap = float(getattr(cfg, "consensus_persist", 3)) + 4.0
+        cons_excluded = jnp.where(
+            flagged,
+            jnp.minimum(neigh + 1.0, streak_cap),
+            jnp.maximum(cons_hist - 1.0, 0.0),
+        )
+        if _DEBUG_LEVELS:
+            jax.debug.print(
+                "  STREAK prev={p} flags={f} -> {n}",
+                p=cons_hist, f=flags_any, n=cons_excluded,
+            )
         main_out = (T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied)
         s2i0 = jnp.asarray(cfg.init_sigma_int**2, jnp.float32)
         s2x0 = jnp.asarray(cfg.init_sigma_xi**2, jnp.float32)

@@ -159,3 +159,40 @@ def test_textureless_scene_geometric_channel():
     # stays bounded (photometric-only methods diverge outright here).
     assert abs(err[0]) < 5e-3 and abs(err[2]) < 5e-3 and abs(err[5]) < 5e-3, err
     assert np.linalg.norm(err) < 8e-2, err
+
+
+def test_bf16_plane_storage_matches_f32():
+    """plane_dtype="bf16" stores the per-iteration HBM-resident planes
+    (gather stack, hoisted backprojected points, template intensity)
+    half-width while all residual/Jacobian MATH stays f32 — the recovered
+    pose must match the f32 run to well under the sensor quantization
+    (see TrackingConfig.plane_dtype for the quantization-step argument).
+    """
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+
+    scene = synthetic.make_scene(0)
+    T0 = np.eye(4)
+    T1 = synthetic.orbit_trajectory(40, trans_amp=0.25, rot_amp=0.06)[2]
+    f0 = synthetic.render_frame(scene, INTR, T0)
+    f1 = synthetic.render_frame(scene, INTR, T1)
+    T_gt = np.linalg.inv(T1) @ T0
+    poses = {}
+    for pd in ("f32", "bf16"):
+        dt = jnp.bfloat16 if pd == "bf16" else jnp.float32
+        pyr0 = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3,
+                                esm=True, plane_dtype=dt)
+        pyr1 = preprocess_frame(jnp.asarray(f1[0]), jnp.asarray(f1[1]), 3,
+                                esm=True, plane_dtype=dt)
+        kf = create_device_keyframe(pyr0, INTR, FusionConfig(), jacobian="esm")
+        cfg = TrackingConfig(levels=3, iters=(4, 8, 16), jacobian="esm",
+                             plane_dtype=pd)
+        res = Tracker(INTR, cfg).track(kf.levels, pyr1, jnp.eye(4))
+        err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+        poses[pd] = (np.asarray(res.T, np.float64), np.linalg.norm(err))
+    # Both recover the motion; bf16 within 2x of f32's (already sub-mm)
+    # error and the two poses agree to sub-mm.
+    assert poses["f32"][1] < 1e-3
+    assert poses["bf16"][1] < 2e-3
+    d = se3_np.log(se3_np.inv(poses["f32"][0]) @ poses["bf16"][0])
+    assert np.linalg.norm(d) < 1e-3, d
