@@ -219,3 +219,49 @@ def test_vga_tracking_clip_ate_on_chip():
     ate = absolute_trajectory_error([gt0 @ T for T in seq.gt_poses], slam.poses())
     assert ate["rmse"] < 1.5e-3, ate  # bench clip measures ~0.1-0.3 mm
     assert not any(s.get("lost") for s in slam.stats)
+
+
+def test_pallas_esm_bf16_planes_on_chip():
+    """bf16 plane storage (TrackingConfig.plane_dtype) on REAL Mosaic:
+    bf16 refs change the kernel's VMEM tiling constraints (min tile
+    (16, 128) vs (8, 128) for f32) — interpreter mode cannot catch a
+    lowering failure. Asserts the bf16-stored run matches the f32 run
+    within the storage quantization (~4e-3 relative)."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from rgbid_tpu.ops import gauss_newton, image
+    from rgbid_tpu.ops.pallas_kernels import esm_residuals_and_normal_eq_pallas
+    from rgbid_tpu.ops.warp import backproject_grid
+    from rgbid_tpu.reference_cpu import se3_np
+
+    h, w = 250, 320  # non-multiple-of-8 height: padding + bf16 tiling
+    intr, (kI, kxi, km), (cI, cxi, cm) = _synthetic_pair(h, w)
+    ones = jnp.ones_like(km)
+    gx_i, gy_i = image.gradients(kI, ones)
+    gx_x, gy_x = image.gradients(kxi, km)
+    kfg = jnp.stack([gx_i, gy_i, gx_x, gy_x])
+    cgx_i, cgy_i = image.gradients(cI, jnp.ones_like(cm))
+    cgx_x, cgy_x = image.gradients(cxi, cm)
+    stack7 = jnp.stack([cI, cxi, cm, cgx_i, cgy_i, cgx_x, cgy_x])
+    pts = backproject_grid(kxi, intr)
+    T = jnp.asarray(se3_np.exp([0.01, -0.02, 0.015, 0.004, -0.006, 0.008]), jnp.float32)
+
+    # Compare bf16-Pallas against the bf16-XLA twin: SAME quantized
+    # storage on both sides, so the diff isolates the Mosaic lowering
+    # (what this tier exists for) from the storage quantization (which
+    # the tracker-level pose-parity test owns).
+    pts_bf = tuple(p.astype(jnp.bfloat16) for p in pts)
+    kI_bf = kI.astype(jnp.bfloat16)
+    stack_bf = stack7.astype(jnp.bfloat16)
+    a = esm_residuals_and_normal_eq_pallas(
+        T, kI_bf, pts_bf, km, kfg, stack_bf, intr, 5.0, 0.01, 0.0025,
+        occlusion_gate=True,
+    )
+    b = gauss_newton.esm_residuals_and_normal_eq(
+        T, kI_bf, pts_bf, km, kfg, stack_bf, intr, 5.0, 0.01, 0.0025,
+        occlusion_gate=True,
+    )
+    np.testing.assert_allclose(np.asarray(a.H), np.asarray(b.H), **INTR_TOL)
+    np.testing.assert_allclose(np.asarray(a.b), np.asarray(b.b), **INTR_TOL)
+    np.testing.assert_allclose(float(a.n_valid), float(b.n_valid), rtol=1e-5)
