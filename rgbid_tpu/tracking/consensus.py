@@ -344,7 +344,10 @@ def decide(
     # Hostage rescue: persistent hostage flags (same history channel —
     # a stratum flagged as mover by EITHER path yesterday counts). The
     # hostage stratum is masked and the caller re-tracks the whole
-    # pyramid from the predicted pose.
+    # pyramid from the predicted pose. A one-frame-lower hostage gate
+    # was measured (round 3): ballistic capture frame unchanged, but
+    # premature rescues on the WALKING clip tripled its ATE (19 -> 56
+    # mm) — the third corroborating frame is load-bearing there.
     hostage_p = verdict.hostage * gate
     rescue = jnp.sum(hostage_p) > 0.5
     # The rescue re-track must also mask every RECENTLY-identified mover
