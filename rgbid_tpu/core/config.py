@@ -127,7 +127,11 @@ class TrackingConfig:
     # (1/255) already accepted at upload; xi step ~4e-3 at 1/m — below the
     # gauntlet sensor noise (5e-3) and TUM depth noise (~1.5e-2 at 1 m).
     # The IRLS fixed point is unchanged (stored planes enter residuals,
-    # not accumulators). Use "f32" to disable.
+    # not accumulators). Values: "f32" (default), "bf16" (both plane
+    # families), and the ablation splits "bf16-stack" (only the frame's
+    # gather stack, honored by the preprocess path) / "bf16-points"
+    # (only the hoisted keyframe points + template intensity, honored by
+    # the tracker). Any other string falls back to f32.
     plane_dtype: str = "f32"
     # Depth-stratified motion consensus (tracking/consensus.py): detects a
     # coherently moving, information-dominant foreground (the documented

@@ -275,8 +275,12 @@ def _esm_pointwise(
         # the pose is sub-pixel and genuine residual spread is at the
         # noise floor (measured ~0.01 1/m), while coarse levels keep the
         # adaptive width so real misalignment can still be pulled in.
-        if gate_cap2 > 0.0:
-            thresh = jnp.minimum(thresh, gate_cap2)
+        # jnp.where, not a Python `if`: keeps the cap traceable (the
+        # Pallas twin reads it from SMEM the same way), so a jitted
+        # caller may sweep it.
+        thresh = jnp.where(
+            gate_cap2 > 0.0, jnp.minimum(thresh, gate_cap2), thresh
+        )
         w_gate = (r_x * r_x <= thresh).astype(jnp.float32)
     else:
         w_gate = 1.0

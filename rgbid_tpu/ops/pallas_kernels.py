@@ -43,27 +43,31 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_rows(h: int, w: int = 640, planes: int = 8) -> int:
-    """Row-tile height: divides h, multiple of 8 when possible, sized so
-    the kernel's resident VMEM (all input planes x double buffering) stays
+def _tile_rows(h: int, w: int = 640, planes: int = 8, mult: int = 8) -> int:
+    """Row-tile height: divides h, multiple of `mult`, sized so the
+    kernel's resident VMEM (all input planes x double buffering) stays
     within budget. v5e scoped VMEM is 16 MB; target <=8 MB of tile inputs
     so compiler scratch and the output block always fit (a 17-plane ESM
     tile at 120x640 measured 17.7 MB and OOM'd on real Mosaic).
 
-    Callers guarantee h % 8 == 0 via _pad_rows, so the final fallback of 8
-    always divides and a full-height (VMEM-overflowing) block never occurs.
+    `mult` is the sublane granularity of the NARROWEST input dtype: 8
+    rows for f32, 16 for bf16 (Mosaic min tile (16, 128)) — a 120-row
+    f32-legal tile mis-tiles bf16 refs on real hardware (code-review
+    round 3). Callers guarantee h % mult == 0 via _pad_rows, so the
+    final fallback of `mult` always divides and a full-height
+    (VMEM-overflowing) block never occurs.
     """
     budget = int(8e6 / max(w * planes * 4 * 2, 1))
     for t in (120, 96, 80, 64, 60, 48, 40, 32, 24, 16, 8):
-        if t <= max(budget, 8) and h % t == 0:
+        if t % mult == 0 and t <= max(budget, mult) and h % t == 0:
             return t
     return h
 
 
-def _pad_rows(arrs, h):
-    """Zero-pad (…, H, W) planes to H multiple of 8 (zero rows carry
+def _pad_rows(arrs, h, mult: int = 8):
+    """Zero-pad (…, H, W) planes to H multiple of `mult` (zero rows carry
     valid=0 and contribute nothing to any reduction)."""
-    pad = (-h) % 8
+    pad = (-h) % mult
     if pad == 0:
         return arrs, h
     out = []
@@ -582,11 +586,17 @@ def esm_residuals_and_normal_eq_pallas(
     valid = kf_mask * front * inb * mask_ok
 
     h, w = kf_int.shape
+    # bf16 plane storage (TrackingConfig.plane_dtype) halves the sublane
+    # granularity: Mosaic's min tile is (16, 128) for bf16 vs (8, 128)
+    # for f32, so padding and tile choice must move to 16-row multiples.
+    mult = 16 if any(
+        a.dtype == jnp.bfloat16 for a in (kf_int, Px, Py, Pz)
+    ) else 8
     (kf_int_p, rho_p, valid_p, Px_p, Py_p, Pz_p, kfg_p, smp_p), hp = _pad_rows(
-        [kf_int, rho, valid, Px, Py, Pz, kf_grads, samples], h
+        [kf_int, rho, valid, Px, Py, Pz, kf_grads, samples], h, mult
     )
     n_smp = smp_p.shape[0]
-    th = _tile_rows(hp, w, planes=6 + 4 + n_smp)
+    th = _tile_rows(hp, w, planes=6 + 4 + n_smp, mult=mult)
     grid = hp // th
     spec = pl.BlockSpec((th, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec4 = pl.BlockSpec((4, th, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)

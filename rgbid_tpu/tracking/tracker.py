@@ -34,7 +34,7 @@ from .frames import FrameLevel, KeyframeLevel
 
 # Per-level pose trace (jax.debug.print inside the chained program) for
 # offline drag forensics; set RGBID_DEBUG_LEVELS=1. Not a public knob.
-_DEBUG_LEVELS = bool(os.environ.get("RGBID_DEBUG_LEVELS"))
+_DEBUG_LEVELS = os.environ.get("RGBID_DEBUG_LEVELS") not in (None, "", "0")
 
 
 def _select_irls(cfg: TrackingConfig):
@@ -579,20 +579,40 @@ def _track_impl(
         # zero mid-episode (measured: QVGA seed-3 ballistic, flags on
         # f20-f33 with 1-2 frame gaps and a bin2->bin3 migration, streak
         # stuck at 0-2, 548 mm raw ATE while the vote SAW the mover).
-        # A flagged stratum now inherits the best streak in its 3-bin
-        # depth neighborhood (migration keeps the streak) and unflagged
-        # strata decay by 1 instead of resetting (flicker keeps it).
-        # Isolated hard-frame false flags still die out (1, 0, ...) and
-        # sparse repeats (every 3rd frame) can never reach the gate.
+        # A flagged stratum now inherits a MIGRATING neighbor's streak
+        # (the neighbor bin has the count and stopped flagging — the
+        # mover's xi moved on) and unflagged strata decay by 1 instead
+        # of resetting (flicker keeps it). Inheritance is gated on the
+        # source neighbor NOT flagging this frame: a straddle (both bins
+        # flagging) builds each bin's own streak and the episode mask's
+        # conditional dilation already covers the pair, while an
+        # ungated credit let a SINGLE spurious flag next to a saturated
+        # mover bin jump straight to the cap and episode-mask a static
+        # band for ~5 frames (code-review round 3). Isolated hard-frame
+        # false flags still die out (1, 0, ...) and sparse repeats
+        # (every 3rd frame) can never reach the gate.
+        # With cons_prev=None the in-frame gates were waived via a
+        # sentinel history (100); the RETURNED counts must not inherit
+        # it (a caller threading them into the next frame would start
+        # every stratum past the episode gate and mask the whole
+        # template — code-review round 3), so the update runs on the
+        # REAL history (zeros when none was given).
+        hist_real = (
+            cons_prev
+            if cons_prev is not None
+            else jnp.zeros((n_bins,), jnp.float32)
+        )
         flagged = flags_any > 0.5
         zpad = jnp.zeros((1,), jnp.float32)
-        neigh = jnp.maximum(
-            cons_hist,
-            jnp.maximum(
-                jnp.concatenate([zpad, cons_hist[:-1]]),
-                jnp.concatenate([cons_hist[1:], zpad]),
-            ),
+        fpad = jnp.zeros((1,), jnp.bool_)
+        left_h = jnp.concatenate([zpad, hist_real[:-1]])
+        right_h = jnp.concatenate([hist_real[1:], zpad])
+        left_f = jnp.concatenate([fpad, flagged[:-1]])
+        right_f = jnp.concatenate([flagged[1:], fpad])
+        credit = jnp.maximum(
+            jnp.where(left_f, 0.0, left_h), jnp.where(right_f, 0.0, right_h)
         )
+        base = jnp.maximum(hist_real, credit)
         # Saturate the streak a little above the gate so a departed or
         # stopped mover unmasks within a few clean frames (an uncapped
         # count after a 15-frame episode would keep a now-static depth
@@ -600,8 +620,8 @@ def _track_impl(
         streak_cap = float(getattr(cfg, "consensus_persist", 3)) + 4.0
         cons_excluded = jnp.where(
             flagged,
-            jnp.minimum(neigh + 1.0, streak_cap),
-            jnp.maximum(cons_hist - 1.0, 0.0),
+            jnp.minimum(base + 1.0, streak_cap),
+            jnp.maximum(hist_real - 1.0, 0.0),
         )
         if _DEBUG_LEVELS:
             jax.debug.print(

@@ -208,3 +208,42 @@ def test_consensus_silent_on_rigid_scene():
     assert max(fracs) == 0.0  # never triggered
     # Identical trajectory (the refit branch never ran).
     np.testing.assert_allclose(ate_on, ate_off, atol=1e-6)
+
+
+def test_streak_counts_safe_to_thread_from_cold_start():
+    """cons_prev=None waives the in-frame persistence gates via a
+    sentinel history (100); the RETURNED counts must be computed from a
+    ZERO history — a caller threading them into the next frame must not
+    start every stratum past the episode gate (which would mask the
+    whole template and silently freeze the pose; code-review round 3)."""
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.config import FusionConfig, TrackingConfig
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+    from rgbid_tpu.tracking.frames import preprocess_frame
+    from rgbid_tpu.tracking.tracker import Tracker
+
+    seq = synthetic.generate_sequence(
+        n_frames=3, intr=INTR, motion="orbit", trans_amp=0.15,
+        rot_amp=0.05, seed=0,
+    )
+    pyr0 = preprocess_frame(
+        jnp.asarray(seq.rgb[0]), jnp.asarray(seq.depth[0]), 3, esm=True
+    )
+    kf = create_device_keyframe(pyr0, INTR, FusionConfig(), jacobian="esm")
+    cfg = TrackingConfig(
+        levels=3, iters=(4, 8, 16), jacobian="esm", kernel="xla",
+        consensus=True,
+    )
+    tr = Tracker(INTR, cfg)
+    p1 = preprocess_frame(
+        jnp.asarray(seq.rgb[1]), jnp.asarray(seq.depth[1]), 3, esm=True
+    )
+    r1 = tr.track(kf.levels, p1, jnp.eye(4))
+    assert np.asarray(r1.cons_excluded).max() < 99  # sentinel must not leak
+    p2 = preprocess_frame(
+        jnp.asarray(seq.rgb[2]), jnp.asarray(seq.depth[2]), 3, esm=True
+    )
+    r2 = tr.track(kf.levels, p2, r1.T, cons_prev=r1.cons_excluded)
+    assert float(r2.n_valid[0]) > 1000  # template not masked away
+    assert np.isfinite(np.asarray(r2.T)).all()
