@@ -247,3 +247,68 @@ def test_streak_counts_safe_to_thread_from_cold_start():
     r2 = tr.track(kf.levels, p2, r1.T, cons_prev=r1.cons_excluded)
     assert float(r2.n_valid[0]) > 1000  # template not masked away
     assert np.isfinite(np.asarray(r2.T)).all()
+
+
+def test_analyze_hostage_by_information_dominance():
+    """Established-drag signature: the pose rides an ALIGNED pixel
+    minority with information dominance while the majority decorrelates.
+    The hostage must be named by dominance (info share >> pixel share),
+    NOT by argmin error — the far background has the naturally lowest
+    error and the larger pixel count (the measured ballistic failure:
+    argmin landed on a 49%-pixel far band and no rescue ever fired)."""
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    K = 6
+    # Stratum 1: FAR background — most pixels, tiny information, tiny
+    # error (distant pixels barely respond to pose error).
+    # Stratum 2: mid background — decorrelating (dragged majority).
+    # Stratum 3: the mover holding the pose — 18% of pixels, dominant
+    # information, LOW error (it is aligned; the pose is locked to it).
+    nk = jnp.asarray([0.0, 4900.0, 3300.0, 1800.0, 0.0, 0.0])
+    info = [0.0, 2e3, 8e3, 2e5, 0.0, 0.0]  # per-pixel J^T W J scale
+    Hk = jnp.stack([i * jnp.eye(6) for i in info]) * nk[:, None, None]
+    bk = jnp.zeros((K, 6))
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * K) * nk[:, None, None]
+    # Per-pixel errors: far 0.07 (lowest!), mid 0.9 (decorrelating),
+    # mover 0.15 (aligned).
+    ek = jnp.asarray([0.0, 0.07, 0.9, 0.15, 0.0, 0.0]) * nk
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    hostage = np.asarray(res.hostage)
+    assert hostage[3] == 1.0, hostage  # the dominant aligned minority
+    assert hostage[1] == 0.0  # NOT the low-error far background
+    # A live hostage explains the majority's decorrelation: the err
+    # path must not flag the dragged static majority that frame.
+    assert np.asarray(res.excluded)[2] == 0.0
+    # decide() with a ripe streak turns it into a rescue.
+    dec = cons.decide(
+        res, jnp.asarray([0.0, 0.0, 0.0, 5.0, 0.0, 0.0]), nk,
+        trigger_frac=0.03, max_frac=0.4,
+    )
+    assert bool(dec.rescue)
+    assert np.asarray(dec.member)[3] == 0.0
+
+
+def test_analyze_two_voter_votes_never_flag():
+    """With two ~50/50 voters there is no majority to appeal to: vote
+    disagreements must not reach `excluded` (they fed the streak counter
+    and the episode mask — measured: a 7-frame streak on a 47%-pixel
+    STATIC band crippled the next founded template, +82 mm in one
+    frame)."""
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    K = 6
+    nk = jnp.asarray([0.0, 4700.0, 5300.0, 0.0, 0.0, 0.0])
+    # The two bands prefer clearly different corrections (wide-baseline
+    # aging split) — flow disagreement far beyond tol.
+    deltas = jnp.zeros((K, 6)).at[1, 0].set(0.02).at[2, 0].set(-0.02)
+    info = 1e4
+    Hk = jnp.stack([info * jnp.eye(6)] * K) * nk[:, None, None]
+    bk = jnp.einsum("kij,kj->ki", Hk, deltas) / jnp.maximum(nk, 1.0)[:, None]
+    bk = bk * nk[:, None]
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * K) * nk[:, None, None]
+    ek = 0.1 * nk  # healthy errors — only the vote path could fire
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    assert not bool(res.majority_ok)
+    np.testing.assert_array_equal(np.asarray(res.excluded), 0.0)
