@@ -345,9 +345,13 @@ def decide(
     # a stratum flagged as mover by EITHER path yesterday counts). The
     # hostage stratum is masked and the caller re-tracks the whole
     # pyramid from the predicted pose. A one-frame-lower hostage gate
-    # was measured (round 3): ballistic capture frame unchanged, but
-    # premature rescues on the WALKING clip tripled its ATE (19 -> 56
-    # mm) — the third corroborating frame is load-bearing there.
+    # was measured TWICE (round 3): ballistic capture frame unchanged
+    # both times, walking ATE tripled (19 -> 56 mm) both times — even
+    # with the caller's evidence-based acceptance (the premature
+    # rescues FIT the retained template better, yet the trajectory is
+    # worse: a slow mover's early dominance frames are genuinely
+    # ambiguous and the masked re-track overfits the remaining scene).
+    # The third corroborating frame is load-bearing on slow movers.
     hostage_p = verdict.hostage * gate
     rescue = jnp.sum(hostage_p) > 0.5
     # The rescue re-track must also mask every RECENTLY-identified mover

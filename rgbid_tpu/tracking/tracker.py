@@ -673,11 +673,48 @@ def _track_impl(
                 consensus_frac, jnp.where(div_fire, frac, 0.0)
             )
         T_main = main_out[0]
+
+        def _err0_fixed(Tq, mask0):
+            """One fixed-sigma level-0 evaluation of pose Tq on the given
+            masked template — the EVIDENCE metric for rescue acceptance.
+            Fixed init sigmas (not the adapted ones) so the two poses'
+            errors are comparable; psum'd under SPMD so every device
+            takes the same branch."""
+            _, kl0, cl0, intr0, pts0 = runners[0]
+            r0 = irls(
+                Tq, kl0.intensity, pts0, mask0, kl0.jac, cl0.stack7,
+                intr0, cfg.student_t_nu, s2i0, s2x0,
+                cfg.use_geometric, cfg.gate_sigmas,
+                getattr(cfg, "occlusion_gate", False),
+                gate_cap=getattr(cfg, "occ_gate_cap", 0.0),
+            )
+            if axis_name is not None:
+                r0 = gauss_newton.allreduce_irls(r0, axis_name)
+            return r0.error
+
+        def _rescue_branch(m):
+            """Masked re-track from the prior, accepted ONLY on evidence:
+            the rescued pose must fit the RETAINED (non-mover) level-0
+            template at least as well as the main pose does on the same
+            mask with the same fixed sigmas. A premature rescue (slow
+            mover whose early dominance frames are ambiguous) re-tracks
+            to a worse static fit and is rejected — which is what lets
+            the hostage gate fire a frame earlier than the vote path
+            without the measured walking regression (19 -> 56 mm when
+            early rescues were accepted unconditionally)."""
+            resc = run_pyramid(m, T_init, s2i0, s2x0)
+            mask0_r = resc[7]
+            err_r = _err0_fixed(resc[0], mask0_r)
+            err_m = _err0_fixed(T_main, mask0_r)
+            return jax.lax.cond(
+                err_r <= err_m, lambda: resc, lambda: main_out
+            )
+
         (
             T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied
         ) = jax.lax.cond(
             rescue_any,
-            lambda m: run_pyramid(m, T_init, s2i0, s2x0),
+            _rescue_branch,
             lambda m: main_out,
             rescue_member,
         )
