@@ -209,9 +209,15 @@ def analyze(
     # seed-3 ballistic: +45 mm on the very frames the refit fired).
     # The hostage test owns the dragged-majority signature; this test
     # owns fast MINORITY movers.
+    # Minority cap 0.40, NOT 0.35 (round 3): the gauntlet panel covers
+    # 34-35% of vote-level pixels at transit peak — a 0.35 cap broke
+    # the mover's streak at exactly the worst frames (measured: flags
+    # at f25-26, blocked at f27 with nk = 0.35, streak reset mid-onset)
+    # while decide()'s aggregate max_frac (0.4) still bounds what a
+    # refit may mask.
     excluded_err = (
         voter
-        & (nk < 0.35 * n_total)
+        & (nk < 0.40 * n_total)
         & (err_n > jnp.maximum(err_ratio * err_med * baseline_scale, err_floor))
     )
     # A CLEAR majority (60%), not a bare one: a genuine mover is a 15-30%
@@ -295,6 +301,12 @@ def analyze(
     excluded = jnp.where(
         hostage_any, excluded_vote & majority_ok, excluded
     )
+    # (A "flagrant" >4x-tolerance instant-action vote flag was built and
+    # measured here in round 3 and REMOVED: a basin-escaping mover's
+    # per-stratum solve decorrelates — its delta collapses to noise
+    # rather than voting big, so the flow magnitude never crosses the
+    # bar on the clips that motivated it; the ERROR path is what sees
+    # fast movers, and it did. Zero fires across the full gauntlet.)
     return ConsensusResult(
         excluded=excluded.astype(jnp.float32),
         majority_ok=majority_ok,
