@@ -33,7 +33,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="rgbid_tpu", description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--tum", metavar="DIR", help="TUM RGB-D sequence directory")
+    src.add_argument(
+        "--live",
+        metavar="DIR",
+        help="LIVE capture: follow a growing TUM-format directory (the "
+        "layout every headless RGB-D capture daemon writes) and track "
+        "frames as they arrive; stream ends after --live-idle seconds "
+        "without new frames",
+    )
     src.add_argument("--synthetic", type=int, metavar="N", help="render N synthetic frames")
+    ap.add_argument(
+        "--live-idle", type=float, default=10.0,
+        help="seconds without new frames before a --live stream ends",
+    )
     ap.add_argument("--motion", default="orbit", choices=["orbit", "loop", "static"])
     ap.add_argument("--config", metavar="JSON", help="config file (JSON)")
     ap.add_argument(
@@ -102,6 +114,16 @@ def main(argv=None):
         intr = seq.intrinsics
         frames = seq.frames()
         n_total = len(seq)
+    elif args.live:
+        from .datasets.live import LiveSource
+
+        live = LiveSource(
+            args.live, idle_timeout=args.live_idle,
+            intrinsics=custom_intr, calib_file=args.calib,
+        )
+        intr = live.intrinsics
+        frames = live.frames()
+        n_total = None  # unknown: the capture is still growing
     else:
         from .core.camera import DEFAULT
 

@@ -183,6 +183,7 @@ class TumSequence:
         )
         self.undistort = undistort and np.any(np.abs(self.distortion) > 1e-12)
         self._maps = None
+        self._max_difference = max_difference
         rgb_list = _read_file_list(os.path.join(seq_dir, "rgb.txt"))
         depth_list = _read_file_list(os.path.join(seq_dir, "depth.txt"))
         matches = associate(rgb_list, depth_list, max_difference)
@@ -220,6 +221,22 @@ class TumSequence:
             )
 
     def __len__(self) -> int:
+        return len(self._items)
+
+    def refresh(self) -> int:
+        """Re-read rgb.txt/depth.txt and re-associate — the live-capture
+        path (datasets/live.py) follows a GROWING directory by calling
+        this between polls. Returns the new item count. Association is
+        stable for already-matched pairs (the matcher is deterministic
+        on the full lists), so previously consumed indices keep their
+        meaning."""
+        rgb_list = _read_file_list(os.path.join(self.dir, "rgb.txt"))
+        depth_list = _read_file_list(os.path.join(self.dir, "depth.txt"))
+        matches = associate(rgb_list, depth_list, self._max_difference)
+        self._items = [
+            (rgb_list[i][0], rgb_list[i][1][0], depth_list[j][1][0])
+            for i, j in matches
+        ]
         return len(self._items)
 
     def _undistort_maps(self, shape):
