@@ -280,6 +280,67 @@ class SyntheticSequence:
             yield Frame(self.timestamps[i], self.rgb[i], self.depth[i])
 
 
+def _apply_kinect_artifacts(rgb, d16, intr, T_now, T_prev, sev, rng):
+    """Kinect-class sensor degradations (see generate_sequence docstring).
+
+    All effects scale with ``sev`` in (0, 1]. Depth works in meters via
+    the 5000.0 TUM scale used by render_frame.
+    """
+    h, w = d16.shape
+    z = d16.astype(np.float64) / 5000.0
+    hit = z > 1e-6
+
+    # (a) Motion blur along the dominant inter-frame image flow. Global
+    # approximation: translation flow at the median scene depth plus
+    # rotational flow, smeared over a ~40% shutter duty cycle.
+    D = np.linalg.inv(T_prev) @ T_now
+    dt = D[:3, 3]
+    ang = np.array([D[2, 1] - D[1, 2], D[0, 2] - D[2, 0], D[1, 0] - D[0, 1]]) * 0.5
+    z_med = np.median(z[hit]) if hit.any() else 2.0
+    flow = np.array([
+        intr.fx * (dt[0] / max(z_med, 0.3)) + intr.fx * ang[1],
+        intr.fy * (dt[1] / max(z_med, 0.3)) - intr.fy * ang[0],
+    ])
+    L = int(round(0.4 * sev * np.hypot(*flow)))
+    if L >= 1:
+        k = 2 * L + 1
+        kern = np.zeros((k, k), np.float32)
+        direc = flow / max(np.hypot(*flow), 1e-9)
+        for s in np.linspace(-L, L, 2 * k):
+            x = int(round(L + s * direc[0]))
+            y = int(round(L + s * direc[1]))
+            kern[np.clip(y, 0, k - 1), np.clip(x, 0, k - 1)] += 1.0
+        kern /= kern.sum()
+        rgb = cv2.filter2D(rgb, -1, kern)
+
+    # (b) Disparity quantization: d = f*b/z quantized to 1/8 px with the
+    # Kinect's f*b ~= 43.5 m*px -> z staircase growing as z^2.
+    fb8 = 43.5 * 8.0 / max(sev, 1e-6)  # sev<1 = finer staircase
+    disp = np.where(hit, fb8 / np.maximum(z, 0.05), 0.0)
+    zq = np.where(hit, fb8 / np.maximum(np.round(disp), 1.0), 0.0)
+
+    # (c) Edge dropout: structured light loses depth DISCONTINUITIES
+    # (projector shadowing at occlusion boundaries). Detect on a 3x3
+    # median of the depth so per-pixel sensor noise (xi_noise * z^2
+    # grows to ~0.08 m/px at 4 m) does not read as edges — only real
+    # geometry steps do; threshold relative to depth.
+    zs = cv2.medianBlur(zq.astype(np.float32), 3).astype(np.float64)
+    gx = np.abs(np.diff(zs, axis=1, prepend=zs[:, :1]))
+    gy = np.abs(np.diff(zs, axis=0, prepend=zs[:1, :]))
+    edge = ((gx + gy) > 0.06 * np.maximum(zs, 0.3)) & hit
+    edge = cv2.dilate(
+        edge.astype(np.uint8), np.ones((3, 3), np.uint8),
+        iterations=1 if sev < 0.75 else 2,
+    ).astype(bool)
+
+    # (d) Speckle: random salt holes.
+    speckle = rng.random((h, w)) < 0.015 * sev
+
+    zq = np.where(edge | speckle, 0.0, zq)
+    d16_out = np.clip(np.round(zq * 5000.0), 0, 65535).astype(np.uint16)
+    return rgb, d16_out
+
+
 def generate_sequence(
     n_frames: int = 30,
     intr: Intrinsics | None = None,
@@ -293,6 +354,7 @@ def generate_sequence(
     moving_occluder: bool = False,
     occluder_z: float = 1.4,
     occluder_speed: float | None = None,
+    kinect_artifacts: float = 0.0,
     **motion_kwargs,
 ) -> SyntheticSequence:
     """Render a sequence; the optional degradations make up the hard-mode
@@ -306,6 +368,21 @@ def generate_sequence(
     * ``moving_occluder``: a textured panel sweeping through the view
       over the sequence (dynamic content the occlusion gates must reject).
     * ``motion="handheld"``: jittered trajectory (handheld_trajectory).
+    * ``kinect_artifacts``: severity (0..1) of the Kinect-class sensor
+      model the plain renderer is kinder than (round-2 VERDICT missing
+      item 1 — every synthetic number is otherwise cleaner than real
+      fr1/desk imagery). At severity 1: (a) MOTION BLUR — the RGB image
+      is blurred along the dominant inter-frame image flow with a line
+      kernel sized to a ~40% shutter duty cycle (rolling-shutter-class
+      smear on fast frames; violates the sharp-template assumption);
+      (b) DISPARITY QUANTIZATION — depth re-quantized to 1/8 px of
+      Kinect disparity (f*b ~= 43.5 m*px), the real z^2-growing depth
+      staircase (~2.8 mm at 1 m, ~45 mm at 4 m), replacing the
+      benign flat u16 rounding; (c) EDGE DROPOUT — depth removed where
+      the depth gradient is large, dilated (structured light fails on
+      discontinuities/oblique surfaces — exactly where the geometric
+      channel is most informative); (d) SPECKLE — ~1.5% random salt
+      holes per frame.
     """
     from ..core.camera import DEFAULT
 
@@ -377,6 +454,11 @@ def generate_sequence(
             blob = cv2.resize(blob, (intr.width, intr.height), interpolation=cv2.INTER_CUBIC)
             thresh = np.quantile(blob, 1.0 - depth_hole_frac)
             d16 = np.where(blob > thresh, 0, d16).astype(np.uint16)
+        if kinect_artifacts > 0:
+            rgb, d16 = _apply_kinect_artifacts(
+                rgb, d16, intr, T, poses[i - 1] if i > 0 else T,
+                kinect_artifacts, rng,
+            )
         seq.timestamps.append(i / fps)
         seq.rgb.append(rgb)
         seq.depth.append(d16)

@@ -85,6 +85,18 @@ def scenarios(n_frames: int):
             {},
         ),
         (
+            # Kinect-class sensor model at full severity (motion blur
+            # along the inter-frame flow, 1/8-px disparity-quantized
+            # depth staircase, edge dropout, speckle): the stand-in for
+            # real fr1/desk imagery the plain renderer is kinder than
+            # (round-2 VERDICT missing item 1; TUM data unavailable —
+            # no network).
+            "kinect_sensor",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 kinect_artifacts=1.0, **hard_noise),
+            {},
+        ),
+        (
             # Everything at once (mid-field mover — the near-field one has
             # its own dedicated row as the documented breaking point).
             "combined_endurance",
