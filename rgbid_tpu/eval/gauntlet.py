@@ -97,6 +97,20 @@ def scenarios(n_frames: int):
             {},
         ),
         (
+            # Kinect sensor model + walking-speed dominant mover: the
+            # closest buildable analog of TUM fr3/walking_* (the
+            # sequence class the reference lineage fails on). Measured
+            # 37.2 mm QVGA / 34.9 mm VGA (round 3; DVO/RGBiD-class
+            # systems measure hundreds of mm to meters on the real
+            # thing).
+            "fr3_walking_standin",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=1.4,
+                 occluder_speed=0.015, kinect_artifacts=1.0,
+                 **hard_noise),
+            {},
+        ),
+        (
             # Everything at once (mid-field mover — the near-field one has
             # its own dedicated row as the documented breaking point).
             "combined_endurance",
