@@ -454,6 +454,22 @@ class SlamConfig:
     # Maximum sensor range in meters; deeper measurements are invalid.
     max_depth: float = 10.0
     min_depth: float = 0.3
+    # Host->device depth transfer codec. "u16": raw depth as two u8
+    # planes (exact). "u12": inverse depth uniformly quantized to 12
+    # bits over [1/max_depth, 1/min_depth] and bit-packed 2 px -> 3 B,
+    # cutting the per-frame upload 0.92 -> 0.77 MB. Fidelity: with the
+    # default [0.3, 10] m range the xi step is 7.9e-4 1/m — 3.6x FINER
+    # than a Kinect's own disparity quantization (1/8 px at
+    # f*b ~= 43.5 m*px -> 2.9e-3 1/m), i.e. below sensor resolution;
+    # depth error at 2 m is ~1.6 mm, and the bench-clip ATE is
+    # IDENTICAL under both codecs (1.27 mm, round 3 session 3).
+    # Default stays "u16" on the sandbox: the emulator prices the u12
+    # device-side bit-unpack (~5 elementwise VGA ops + an interleave)
+    # at about what the 0.15 MB DMA saving buys back (measured flights
+    # 69.1/69.7 u16 vs 69.7/71.5 u12 ms/frame — a wash within tenancy
+    # noise). On real v5e the decode is ~free on the VPU and 17% fewer
+    # host->device bytes is a pure win: flip to "u12" there.
+    depth_codec: str = "u16"
     # Frames per pipelined flight in SlamSystem.feed(): that many per-frame
     # device programs are chained with NO host sync (on-device motion model
     # + in-program keyframe switching), then read back together. Amortizes

@@ -115,14 +115,14 @@ class SlamSystem:
         This is the flight-depth-1 path: dispatch, sync, handle. ``feed()``
         chains several frames per host sync with identical semantics.
         ``packed`` optionally supplies the frame's device upload
-        (``jnp.asarray(pack_frame(rgb_u8, depth_u16))``) prepared ahead of
-        time.
+        (``jnp.asarray(pack_frame(rgb_u8, depth_u16, cfg))``) prepared
+        ahead of time — it must use this system's configured depth codec.
         """
         import time as _time
 
         _t0 = _time.perf_counter()
         if packed is None:
-            packed = jnp.asarray(pack_frame(rgb_u8, depth_u16))
+            packed = jnp.asarray(pack_frame(rgb_u8, depth_u16, self.config))
 
         if self._kf_state is None:
             T_wc = self._bootstrap(rgb_u8, timestamp, packed, depth_u16)
@@ -409,7 +409,7 @@ class SlamSystem:
                 rgb, depth, t = f.rgb, f.depth, f.timestamp
             else:
                 rgb, depth, t = f
-            packed = jnp.asarray(pack_frame(rgb, depth))
+            packed = jnp.asarray(pack_frame(rgb, depth, self.config))
             if self._kf_state is None:
                 poses.append(self.process_frame(rgb, depth, t, packed=packed))
                 continue

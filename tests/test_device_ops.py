@@ -130,3 +130,38 @@ def test_student_t_sigma2_matches_oracle():
         jnp.asarray(r * valid) ** 2, jnp.asarray(valid), 5.0, jnp.asarray(0.01), 3
     )
     assert np.sqrt(float(dev)) == pytest.approx(ref, rel=1e-4)
+
+
+def test_u12_depth_codec_roundtrip():
+    """The u12 transfer codec (12-bit xi codes, 2 px -> 3 B) must decode
+    to the exact validity mask of the u16 path and xi within half a
+    quantization step (7.9e-4/2 1/m at the default [0.3, 10] m range —
+    3.6x finer than Kinect's own disparity quantization; see
+    SlamConfig.depth_codec)."""
+    from rgbid_tpu.core.config import SlamConfig
+    from rgbid_tpu.tracking.step import decode_frame, pack_frame
+
+    cfg = SlamConfig().override(depth_codec="u12")
+    cfg16 = cfg.override(depth_codec="u16")
+    rng = np.random.default_rng(3)
+    h, w = 120, 160
+    rgb = rng.integers(0, 255, (h, w, 3), np.uint8)
+    # Cover: invalid zeros, below-min (>u16 50000 at scale 5000 = 10 m),
+    # the full in-range span, and exact boundary values.
+    depth = rng.integers(0, 60000, (h, w), np.uint16)
+    depth[::7, ::5] = 0
+    depth[0, 0] = int(cfg.min_depth * cfg.depth_scale)  # exactly min: invalid
+    depth[0, 1] = int(cfg.max_depth * cfg.depth_scale)  # exactly max: invalid
+    p12 = jnp.asarray(pack_frame(rgb, depth, cfg))
+    # 1 B gray + 1.5 B depth per pixel.
+    assert p12.shape == (h, w + (3 * w) // 2)
+    g12, xi12, m12 = map(np.asarray, decode_frame(p12, cfg))
+    g16, xi16, m16 = map(
+        np.asarray, decode_frame(jnp.asarray(pack_frame(rgb, depth, cfg16)), cfg16)
+    )
+    np.testing.assert_array_equal(g12, g16)
+    np.testing.assert_array_equal(m12, m16)
+    step = (1.0 / cfg.min_depth - 1.0 / cfg.max_depth) / 4094.0
+    err = np.abs(xi12 - xi16)[m16 > 0]
+    assert err.max() <= step / 2 + 1e-6
+    assert (xi12[m12 == 0] == 0).all()

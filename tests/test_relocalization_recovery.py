@@ -68,7 +68,7 @@ def test_relocalizes_after_sensor_dropout():
 
     from rgbid_tpu.tracking.step import pack_frame
 
-    packed = jnp.asarray(pack_frame(seq.rgb[2], seq.depth[2]))
+    packed = jnp.asarray(pack_frame(seq.rgb[2], seq.depth[2], slam.config))
     T_back = slam._try_relocalize(seq.rgb[2], seq.depth[2], 2.0, packed)
     assert T_back is not None
     # Recovered world pose close to the ground-truth pose of frame 2.
