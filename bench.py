@@ -116,7 +116,10 @@ def main():
     )
 
     # A/B: tracker-only variant (what round 1/2 headlined) on stderr.
-    if os.environ.get("BENCH_AB", "1") != "0":
+    # Opt-IN (BENCH_AB=1): it costs a second VGA compile (~6 min on the
+    # sandbox) and the question it answers is settled and recorded —
+    # backend ON vs OFF differ ~2 ms/frame (SURVEY App. D #6).
+    if os.environ.get("BENCH_AB", "0") == "1":
         slam2 = SlamSystem(intr, cfg.override(**{"backend.enabled": False}))
         elapsed2, flights2 = _run(slam2, frames, n_warmup)
         print(
