@@ -524,6 +524,7 @@ class SlamConfig:
             depth_scale=raw.get("depth_scale", 5000.0),
             max_depth=raw.get("max_depth", 10.0),
             min_depth=raw.get("min_depth", 0.3),
+            depth_codec=raw.get("depth_codec", "u16"),
             pipeline_depth=raw.get("pipeline_depth", 8),
         )
 

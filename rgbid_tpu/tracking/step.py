@@ -148,8 +148,13 @@ def _u12_lut(depth_scale: float, min_depth: float, max_depth: float):
     """Cached raw-u16-depth -> 12-bit xi code table (65536 entries).
 
     One host gather per frame instead of per-pixel float math (~0.3 vs
-    ~6 ms VGA). Code 0 = invalid; strict (min_depth, max_depth) bounds
-    to match inverse_depth_from_u16's exclusive validity test.
+    ~6 ms VGA). Code 0 = invalid. VALIDITY is computed with the exact
+    float32 arithmetic of the u16 device path (inverse_depth_from_u16:
+    d = f32(raw) * f32(1/depth_scale), strict f32 compares) so the two
+    codecs' masks are bit-identical for EVERY (depth_scale, min, max)
+    combination, not just ones where f64 and f32 rounding agree at the
+    boundary raws (advisor round 3). The quantized xi VALUE still uses
+    f64 (it only needs to land in the right 12-bit bucket).
     """
     import numpy as np
 
@@ -161,7 +166,8 @@ def _u12_lut(depth_scale: float, min_depth: float, max_depth: float):
         xi_min, xi_max = 1.0 / max_depth, 1.0 / min_depth
         step = (xi_max - xi_min) / 4094.0
         code = np.rint((xi - xi_min) / step).astype(np.int64) + 1
-        valid = (raw > 0) & (xi > xi_min) & (xi < xi_max)
+        d32 = raw.astype(np.float32) * np.float32(1.0 / depth_scale)
+        valid = (d32 > np.float32(min_depth)) & (d32 < np.float32(max_depth))
         lut = np.where(valid, np.clip(code, 1, 4095), 0).astype(np.uint16)
         _U12_LUTS[key] = lut
     return lut
@@ -236,6 +242,18 @@ def decode_frame(packed_u8, cfg: SlamConfig):
     from ..ops import image as _image
 
     if cfg.depth_codec == "u12":
+        # Codec-mismatch guard (advisor round 3): a caller that packed
+        # with the WRONG codec (e.g. pack_frame(cfg=None) defaults to
+        # u16) would otherwise hit an opaque reshape error below.
+        # Shapes are static at trace time, so this is a free Python
+        # check, not a device op.
+        if packed_u8.ndim != 2 or packed_u8.shape[1] % 5 != 0:
+            raise ValueError(
+                f"depth_codec='u12' expects a (H, 5*W/2) packed buffer "
+                f"from pack_frame(..., cfg) with the same codec; got "
+                f"shape {packed_u8.shape}. (A (3, H, W) buffer means the "
+                f"frame was packed with the 'u16' codec.)"
+            )
         h = packed_u8.shape[0]
         w = (packed_u8.shape[1] * 2) // 5  # W + 3W/2 total columns
         gray = packed_u8[:, :w]
@@ -249,6 +267,13 @@ def decode_frame(packed_u8, cfg: SlamConfig):
         mask = (code > 0).astype(jnp.float32)
         xi = ((code.astype(jnp.float32) - 1.0) * step + xi_min) * mask
         return gray, xi, mask
+    if packed_u8.ndim != 3 or packed_u8.shape[0] != 3:
+        raise ValueError(
+            f"depth_codec='u16' expects a (3, H, W) packed buffer "
+            f"[gray, depth-lo, depth-hi]; got shape {packed_u8.shape}. "
+            f"(A 2-D buffer means the frame was packed with the 'u12' "
+            f"codec — pass the same cfg to pack_frame and SlamSystem.)"
+        )
     gray, d16 = unpack_frame(packed_u8)
     xi, mask = _image.inverse_depth_from_u16(
         d16, cfg.depth_scale, cfg.min_depth, cfg.max_depth

@@ -165,3 +165,56 @@ def test_u12_depth_codec_roundtrip():
     err = np.abs(xi12 - xi16)[m16 > 0]
     assert err.max() <= step / 2 + 1e-6
     assert (xi12[m12 == 0] == 0).all()
+
+
+def test_u12_lut_mask_matches_u16_all_raws_and_configs():
+    """Advisor round 3: the u12 LUT's validity must be computed with the
+    SAME float32 arithmetic as the u16 device path so boundary raw
+    values agree for EVERY config, not just the default. Checked over
+    all 65536 raw values for several (depth_scale, min, max) combos,
+    including ones where f64 vs f32 rounding flips the compare."""
+    from rgbid_tpu.ops.image import inverse_depth_from_u16
+    from rgbid_tpu.tracking.step import _u12_lut
+
+    raws = jnp.arange(65536, dtype=jnp.uint16).reshape(256, 256)
+    for scale, dmin, dmax in [
+        (5000.0, 0.3, 10.0),
+        (1000.0, 0.5, 5.0),
+        (5208.33, 0.3, 10.0),  # ASUS-style factory scale: inexact in f32
+        (5000.0, 0.29999998, 9.999999),
+    ]:
+        _, mask16 = inverse_depth_from_u16(raws, scale, dmin, dmax)
+        lut = _u12_lut(scale, dmin, dmax)
+        np.testing.assert_array_equal(
+            (lut > 0), np.asarray(mask16).reshape(-1) > 0,
+            err_msg=f"mask mismatch at scale={scale} range=({dmin},{dmax})",
+        )
+
+
+def test_decode_frame_rejects_codec_mismatch():
+    """Feeding a u16-packed buffer to a u12-configured decode (or vice
+    versa) must raise a descriptive error, not an opaque reshape failure
+    (advisor round 3)."""
+    from rgbid_tpu.core.config import SlamConfig
+    from rgbid_tpu.tracking.step import decode_frame, pack_frame
+
+    cfg12 = SlamConfig().override(depth_codec="u12")
+    cfg16 = SlamConfig()
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (16, 32, 3), np.uint8)
+    depth = rng.integers(2000, 25000, (16, 32), np.uint16)
+    p16 = jnp.asarray(pack_frame(rgb, depth, cfg16))
+    p12 = jnp.asarray(pack_frame(rgb, depth, cfg12))
+    with pytest.raises(ValueError, match="u12"):
+        decode_frame(p16, cfg12)
+    with pytest.raises(ValueError, match="u16"):
+        decode_frame(p12, cfg16)
+
+
+def test_config_json_roundtrips_depth_codec():
+    from rgbid_tpu.core.config import SlamConfig
+
+    cfg = SlamConfig().override(depth_codec="u12", pipeline_depth=4)
+    back = SlamConfig.from_json(cfg.to_json())
+    assert back.depth_codec == "u12"
+    assert back == cfg
