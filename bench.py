@@ -115,6 +115,51 @@ def main():
         file=sys.stderr,
     )
 
+    # Keyframe-churn variant (round-4): the headline orbit founds ~1
+    # keyframe across the whole clip, under-representing keyframe
+    # switch/finalize and real backend work in the judged number. Run the
+    # gauntlet's large_motion-class clip (founds ~20 keyframes with loop
+    # closures at VGA) through the SAME system — reset() keeps the
+    # compiled programs, so this costs only the frames, not a recompile —
+    # and report mean/median + the per-switch marginal cost on stderr.
+    # Disable with BENCH_CHURN=0.
+    if os.environ.get("BENCH_CHURN", "1") == "1":
+        seq2 = synthetic.generate_sequence(
+            n_frames=n_warmup + n_frames,
+            intr=intr,
+            motion="orbit",
+            trans_amp=0.55,
+            rot_amp=0.16,
+            periods=2.0,
+            xi_noise_sigma=0.005,
+        )
+        frames2 = list(seq2.frames())
+        slam.reset()
+        elapsed2, flights2 = _run(slam, frames2, n_warmup)
+        n_switches = sum(1 for s in slam.stats if s.get("switch"))
+        slam.finish()
+        gt20 = np.linalg.inv(seq2.gt_poses[0])
+        ate2 = absolute_trajectory_error(
+            [gt20 @ T for T in seq2.gt_poses], slam.poses()
+        )
+        mean2 = elapsed2 * 1e3 / n
+        med2 = float(np.median(flights2)) / depth
+        # Per-switch marginal cost vs the (nearly switch-free) headline:
+        # switches in the TIMED span only (warmup switches excluded).
+        timed_sw = sum(
+            1 for s in slam.stats[n_warmup:] if s.get("switch")
+        )
+        marg = (elapsed2 - elapsed) * 1e3 / max(timed_sw, 1)
+        print(
+            f"bench: CHURN (large_motion-class): mean {mean2:.1f} ms/frame, "
+            f"median flight {med2 * depth:.1f} ms ({med2:.1f} ms/frame), "
+            f"ATE {ate2['rmse'] * 1000:.2f} mm, "
+            f"{len(slam.manager.keyframes)} keyframes "
+            f"({n_switches} switches, {timed_sw} timed), "
+            f"~{marg:.1f} ms marginal/switch vs headline",
+            file=sys.stderr,
+        )
+
     # A/B: tracker-only variant (what round 1/2 headlined) on stderr.
     # Opt-IN (BENCH_AB=1): it costs a second VGA compile (~6 min on the
     # sandbox) and the question it answers is settled and recorded —

@@ -115,7 +115,7 @@ class BackendThread:
         self.cfg: SlamConfig = system.config
         self.loop_closer = LoopCloser(system.intr, self.cfg)
         self.pg = PoseGraph(self.cfg.backend.pg_iterations, self.cfg.backend.pg_damping)
-        self._queue: "queue.Queue[Optional[Keyframe]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue()
         self._lock = threading.Lock()
         self._optimized: Dict[int, np.ndarray] = {}
         self._loop_edges: List[dict] = []
@@ -125,10 +125,15 @@ class BackendThread:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def submit(self, kf: Keyframe) -> None:
+    def submit(self, kf: Keyframe, device_state=None) -> None:
+        """Queue a retired keyframe for the back end. ``device_state``
+        (the retiring DeviceKeyframe pytree) requests FINALIZATION on
+        this thread first — the packed readback + cloud/ORB extraction
+        move off the front end's critical path; the pytree reference
+        keeps the planes alive until then."""
         if kf.kf_id not in self._processed:
             self._processed.add(kf.kf_id)
-            self._queue.put(kf)
+            self._queue.put((kf, device_state))
 
     def finish(self) -> None:
         """Drain the queue, then run a final optimization."""
@@ -163,14 +168,20 @@ class BackendThread:
     # ------------------------------------------------------------------
     def _run(self) -> None:
         while True:
-            kf = self._queue.get()
-            if kf is None:
+            item = self._queue.get()
+            if item is None:
                 break
+            kf, device_state = item
             # The WHOLE per-keyframe pipeline (including _optimize) lives
             # inside the try: an exception here must never kill the thread,
             # or finish() would block on the join and the front end would
             # silently lose loop closure.
             try:
+                if device_state is not None and kf.cloud is None:
+                    # Deferred finalization (see submit): the readback +
+                    # cloud/ORB work happen here, overlapped with the
+                    # front end's flights.
+                    self.system.manager.finalize(kf, device_state)
                 edges = self.loop_closer.process_keyframe(
                     kf, self.system.manager.keyframes
                 )

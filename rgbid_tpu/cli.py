@@ -49,6 +49,13 @@ def main(argv=None):
     ap.add_argument("--motion", default="orbit", choices=["orbit", "loop", "static"])
     ap.add_argument("--config", metavar="JSON", help="config file (JSON)")
     ap.add_argument(
+        "--preset",
+        default=None,
+        choices=["default", "sandbox", "real-v5e"],
+        help="named config preset (SlamConfig.preset); 'real-v5e' is the "
+        "consolidated real-hardware flip list. --config/--set apply on top",
+    )
+    ap.add_argument(
         "--calib",
         metavar="FILE",
         help="camera calibration file (fx fy cx cy [w h] [k1 k2 p1 p2 k3]); "
@@ -89,7 +96,7 @@ def main(argv=None):
     from .utils.logging import JsonlLogger
     from .utils.profiling import StageTimer
 
-    cfg = SlamConfig()
+    cfg = SlamConfig.preset(args.preset) if args.preset else SlamConfig()
     if args.config:
         with open(args.config) as f:
             cfg = SlamConfig.from_json(f.read())

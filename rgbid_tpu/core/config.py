@@ -112,6 +112,29 @@ class TrackingConfig:
     # materialization + gather traffic was the single largest preprocess
     # cost (~30 ms/frame on the sandbox). 0 = full ESM everywhere.
     esm_min_level: int = 1
+    # Coarsest level at which ESM gradient averaging extends to the
+    # GEOMETRIC (inverse-depth) channel: levels >= this carry the full
+    # 7-plane stack [I, xi, mask, gxI, gyI, gxXi, gyYi]; ESM levels
+    # below it carry 5 planes [I, xi, mask, gxI, gyI] — intensity keeps
+    # full ESM averaging (where the texture information lives) while
+    # the geometric channel uses TEMPLATE gradients only, cutting that
+    # level's per-iteration corner-gather traffic 7 -> 5 planes (-29%)
+    # and dropping its two xi-gradient convs per frame. Default 0:
+    # 7-plane at every ESM level (the rounds-1-3 behavior). The 5-plane
+    # mode was round-4's named structural lever and is a MEASURED
+    # ACCURACY NEGATIVE as a default: on the noisy-depth loop clip
+    # (xi_noise 0.004, 17 keyframes/40 frames) 5-plane everywhere
+    # scored 17.7 mm vs 7-plane's 5.3 mm, 5-plane at level 1 only
+    # (geo_min=2) still 16.7 mm, and fresh coarse template rebuilds
+    # (coarse_rebuild_every=1) did NOT recover it (16.6 mm) — the
+    # geometric channel's current-frame gradient term is genuinely
+    # load-bearing under depth noise, not a staleness artifact. The
+    # sandbox speed win was ~5% (70.1 vs 73.9 ms/frame same-tenancy
+    # VGA A/B). Kernels dispatch on the stack's channel count (7/5/3 —
+    # all three layouts stay tested on-chip); this knob only controls
+    # what preprocess materializes. Set to 2 for 5-plane at the fine
+    # ESM level, 99 for 5-plane everywhere.
+    esm_geo_min_level: int = 0
     # Storage dtype for the (12, H, W) template Jacobians: "bf16" halves
     # the dominant per-iteration HBM read (~15 MB/iter at VGA); products
     # still accumulate in f32 and the IRLS fixed point (J^T W r = 0 with
@@ -272,6 +295,16 @@ class TrackingConfig:
     # real TPU hardware — where a branch costs ~us, not ms — should
     # re-measure and likely enable it.
     conv_skip_tol: float = 0.0
+    # Bilinear-corner gather form for the per-iteration sample pass:
+    # False = four separate corner gathers (the sandbox production
+    # winner); True = one stacked-index gather (4x fewer gather
+    # dispatches — measured 16% faster in an isolated probe but
+    # +4 ms/frame in the sandbox flight pipeline, a probe-vs-production
+    # inversion; expected to win on real v5e where dispatch is ~us).
+    # Semantics are bit-identical. This config drives the tracker hot
+    # path; warp.STACKED_GATHER remains the default for non-hot sites
+    # (fusion's once-per-fused-frame pass, relocalization).
+    stacked_gather: bool = False
 
 
 @dataclass(frozen=True)
@@ -481,6 +514,50 @@ class SlamConfig:
     pipeline_depth: int = 16
 
     # ------------------------------------------------------------------
+    @classmethod
+    def preset(cls, name: str) -> "SlamConfig":
+        """Named configuration presets.
+
+        ``"default"`` / ``"sandbox"``: the class defaults — every knob at
+        its measured sandbox-emulator optimum (the values every number in
+        BASELINE.md was measured with).
+
+        ``"real-v5e"``: the consolidated REAL-HARDWARE flip list. The
+        sandbox TPU (~3.5 ms/dispatch, ~0.5 GB/s, `block_until_ready`
+        non-synchronizing) prices several levers opposite to real v5e
+        silicon; each flip below was measured on the sandbox, documented
+        as a hardware win, and defaulted off *here* only because of the
+        emulator's cost model. One switch instead of an archaeology
+        exercise across BASELINE.md/SURVEY appendices (round-4 VERDICT
+        item 4). Per-flip rationale (sandbox measurement -> expected HW
+        effect):
+
+        | flip | sandbox | real v5e |
+        |---|---|---|
+        | depth_codec="u12" | wash (decode ops ~= 0.15 MB DMA saving) | -17% upload bytes, decode ~us on VPU: pure win |
+        | tracking.early_exit_tol=1e-5 | while_loop ~5 ms/instance even at 0 trips | branch ~us; cfg.iters become budgets, converged levels exit free |
+        | tracking.conv_skip_tol=0 | per-trip cond broke flight overlap (+15.7 ms) | subsumed by early_exit_tol's while_loop; keep off |
+        | tracking.plane_dtype="bf16" | speed-neutral (gathers price by op, not byte) | halves per-iteration HBM gather traffic; ~0.4 mm on a 1.8 mm clip (on-TPU tier case pins the lowering) |
+        | tracking.stacked_gather=True | +4 ms/frame (probe-vs-production inversion) | 4x fewer gather dispatches per sample pass |
+        | fusion.fine_rebuild_every=1 | (already default) | rebuild convs are ~us; keep accuracy-first |
+
+        NOT flipped: pipeline_depth stays 16 — flights amortize host sync
+        latency on any platform, and pose-graph corrections publish at
+        flight granularity either way.
+        """
+        if name in ("default", "sandbox"):
+            return cls()
+        if name == "real-v5e":
+            return cls().override(
+                **{
+                    "depth_codec": "u12",
+                    "tracking.early_exit_tol": 1e-5,
+                    "tracking.plane_dtype": "bf16",
+                    "tracking.stacked_gather": True,
+                }
+            )
+        raise KeyError(f"unknown config preset: {name!r}")
+
     def override(self, **updates: Any) -> "SlamConfig":
         """Return a copy with dotted-key overrides, e.g.
         ``cfg.override(**{"tracking.levels": 3, "backend.enabled": False})``.

@@ -237,6 +237,7 @@ def extract_cloud(
     max_sigma: float = 0.05,
     stride: int = 1,
     rgb: Optional[np.ndarray] = None,
+    grid_step: int = 1,
 ) -> np.ndarray:
     """K10: backproject the fused keyframe map -> (N, 6) xyz+rgb float32.
 
@@ -244,9 +245,19 @@ def extract_cloud(
     grid. When the keyframe's host color image ``rgb`` (H, W, 3 u8) is
     given the cloud carries real colors (like the reference's colored
     keyframe clouds); else gray intensity is replicated to rgb.
+
+    ``grid_step`` declares that the input planes were PRE-STRIDED by
+    that factor (device-side subsampling in the finalize readback):
+    pixel (i, j) of the planes is pixel (i*grid_step, j*grid_step) of
+    the full image, so the backprojection grid scales accordingly.
+    Equivalent to stride=grid_step on full planes, at 1/grid_step^2 the
+    readback bytes.
     """
     h, w = xi0.shape
-    u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    u, v = np.meshgrid(
+        np.arange(w, dtype=np.float32) * grid_step,
+        np.arange(h, dtype=np.float32) * grid_step,
+    )
     keep = (mask0 > 0) & (np.sqrt(np.maximum(var0, 0.0)) < max_sigma) & (xi0 > 1e-6)
     if stride > 1:
         sel = np.zeros_like(keep)

@@ -18,19 +18,31 @@ from .keyframe import DeviceKeyframe, Keyframe, extract_cloud
 
 
 @functools.lru_cache(maxsize=None)
-def _packer():
+def _packer(stride: int = 1):
     """Jitted concat of finalize's plane reads into ONE vector: on the
     sandbox TPU every first read of a device value costs ~28 ms
     REGARDLESS of size, so finalize's six plane reads were ~170 ms per
     keyframe switch (measured round 3: ~250 ms/switch total, ~29 ms/frame
     amortized on switch-heavy clips). One packed read pays the fixed
-    cost once plus bytes."""
+    cost once plus bytes.
+
+    ``stride`` subsamples the first three (level-0) planes ON DEVICE
+    before the read: the only consumer of the full-resolution level-0
+    planes is cloud extraction, which strides by cloud_stride anyway —
+    striding device-side cuts the readback bytes 4x at the default
+    stride 2 (3.9 -> 1.1 MB at VGA; D2H bytes price like uploads,
+    ~25-40 MB/s on this platform) with a bit-identical cloud."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def pack(*planes):
-        return jnp.concatenate([jnp.ravel(p) for p in planes])
+        out = []
+        for i, p in enumerate(planes):
+            if i < 3 and stride > 1:
+                p = p[::stride, ::stride]
+            out.append(jnp.ravel(p))
+        return jnp.concatenate(out)
 
     return pack
 
@@ -86,21 +98,25 @@ class KeyframeManager:
         li = device_state.levels[
             min(self.reloc_level, len(device_state.levels) - 1)
         ]
-        # ONE batched device read for all six finalize planes.
+        # ONE batched device read for all six finalize planes; the
+        # level-0 planes come back pre-strided by cloud_stride (their
+        # only consumer is the strided cloud extraction).
+        s = max(self.cloud_stride, 1)
         packed = np.asarray(
-            _packer()(
+            _packer(s)(
                 lvl0.xi, lvl0.mask, device_state.var,
                 li.intensity, li.xi, li.mask,
             )
         )
         h0, w0 = lvl0.xi.shape
+        hs, ws = len(range(0, h0, s)), len(range(0, w0, s))
         hl, wl = li.xi.shape
-        n0 = h0 * w0
+        n0 = hs * ws
         nl = hl * wl
         o = 0
-        xi0 = packed[o : o + n0].reshape(h0, w0); o += n0
-        mask0 = packed[o : o + n0].reshape(h0, w0) > 0.5; o += n0
-        var0 = packed[o : o + n0].reshape(h0, w0); o += n0
+        xi0 = packed[o : o + n0].reshape(hs, ws); o += n0
+        mask0 = packed[o : o + n0].reshape(hs, ws) > 0.5; o += n0
+        var0 = packed[o : o + n0].reshape(hs, ws); o += n0
         li_int = packed[o : o + nl].reshape(hl, wl); o += nl
         li_xi = packed[o : o + nl].reshape(hl, wl); o += nl
         li_mask = packed[o : o + nl].reshape(hl, wl); o += nl
@@ -109,14 +125,15 @@ class KeyframeManager:
         # (gray for ORB comes from the same host image).
         intensity0 = None if kf.rgb is not None else np.asarray(lvl0.intensity)
         kf.cloud = extract_cloud(
-            intensity0,
+            intensity0[::s, ::s] if intensity0 is not None else None,
             xi0,
             mask0,
             var0,
             self.intr,
             max_sigma=self.cloud_max_sigma,
-            stride=self.cloud_stride,
-            rgb=kf.rgb,
+            stride=1,
+            rgb=kf.rgb[::s, ::s] if kf.rgb is not None else None,
+            grid_step=s,
         )
         if kf.rgb is not None:
             try:

@@ -145,6 +145,7 @@ def residuals_and_normal_eq(
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
     sigma_mode: str = "exact",
+    stacked_gather=None,
 ) -> IrlsResult:
     """One IRLS evaluation: warp, sample, weight, reduce to (H, b).
 
@@ -157,7 +158,9 @@ def residuals_and_normal_eq(
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     # One 4-corner-gather pass for all three current-frame planes.
     cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
-    i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
+    i_s, xi_s, mask_ok, inb = sample_tracker_planes(
+        cur_stack, up, vp, stacked_gather
+    )
     valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
     r_x = (xi_s - rho) * valid
@@ -224,6 +227,7 @@ def _esm_pointwise(
     gate_sigmas: float,
     occlusion_gate: bool,
     gate_cap2: float = 0.0,
+    stacked_gather=None,
 ):
     """Shared per-pixel ESM math: warp, sample, residuals, occlusion
     gate, Student-t weights, warp/prediction Jacobians, ESM gradient
@@ -239,12 +243,23 @@ def _esm_pointwise(
     """
     from .warp import sample_stack7, transform_project
 
-    avg_grads = cur_stack.shape[0] >= 7
+    # Stack layout dispatch by channel count (trace-time static):
+    #   >=7: [I, xi, mask, gxI, gyI, gxXi, gyXi] — ESM averaging on both
+    #        channels (levels >= esm_geo_min_level);
+    #   5:   [I, xi, mask, gxI, gyI] — averaging on intensity only, the
+    #        geometric channel uses template gradients (opt-in per-level
+    #        via esm_geo_min_level; measured accuracy negative as a
+    #        default — see config.TrackingConfig);
+    #   3:   [I, xi, mask] — template gradients for both channels (fine
+    #        levels below esm_min_level).
+    n_ch = cur_stack.shape[0]
+    avg_grads = n_ch >= 7
+    avg_int = n_ch >= 5
     # Storage may be bf16 (TrackingConfig.plane_dtype); all math is f32.
     Px, Py, Pz = (p.astype(jnp.float32) for p in kf_points)
     kf_int = kf_int.astype(jnp.float32)
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
-    samples, mask_ok, inb = sample_stack7(cur_stack, up, vp)
+    samples, mask_ok, inb = sample_stack7(cur_stack, up, vp, stacked_gather)
     i_s, xi_s = samples[0], samples[1]
     valid = kf_mask * front * inb * mask_ok
     r_i = (i_s - kf_int) * valid
@@ -329,6 +344,10 @@ def _esm_pointwise(
         gy_i_e = 0.5 * (kfg[1] + samples[4])
         gx_x_e = 0.5 * (kfg[2] + samples[5])
         gy_x_e = 0.5 * (kfg[3] + samples[6])
+    elif avg_int:
+        gx_i_e = 0.5 * (kfg[0] + samples[3])
+        gy_i_e = 0.5 * (kfg[1] + samples[4])
+        gx_x_e, gy_x_e = kfg[2], kfg[3]
     else:
         gx_i_e, gy_i_e, gx_x_e, gy_x_e = kfg[0], kfg[1], kfg[2], kfg[3]
     Ji = [gx_i_e * ju[k] + gy_i_e * jv[k] for k in range(6)]
@@ -345,7 +364,7 @@ def esm_residuals_and_normal_eq(
     kf_points: tuple,
     kf_mask: jax.Array,
     kf_grads: jax.Array,  # (4, H, W): gxI, gyI, gxXi, gyXi of the template
-    cur_stack7: jax.Array,  # (7, H, W) I,xi,mask,gxI,gyI,gxXi,gyXi — or (3, H, W) I,xi,mask
+    cur_stack7: jax.Array,  # (7|5|3, H, W): [I,xi,mask(,gxI,gyI(,gxXi,gyYi))] — see _esm_pointwise
     intr: Intrinsics,
     nu: float,
     sigma2_int,
@@ -354,6 +373,7 @@ def esm_residuals_and_normal_eq(
     gate_sigmas: float = 3.0,
     occlusion_gate: bool = False,
     gate_cap: float = 0.0,
+    stacked_gather=None,
 ) -> IrlsResult:
     """ESM variant (XLA twin of the Pallas ESM kernel).
 
@@ -375,7 +395,7 @@ def esm_residuals_and_normal_eq(
     ) = _esm_pointwise(
         T, kf_int, kf_points, kf_mask, kf_grads, cur_stack7, intr, nu,
         sigma2_int, sigma2_xi, use_geometric, gate_sigmas, occlusion_gate,
-        gate_cap2=gate_cap * gate_cap,
+        gate_cap2=gate_cap * gate_cap, stacked_gather=stacked_gather,
     )
 
     n_valid = jnp.sum(valid)
@@ -427,6 +447,7 @@ def stratified_normal_eq(
     gate_sigmas: float = 3.0,
     occlusion_gate: bool = True,
     axis_name: str | None = None,
+    stacked_gather=None,
 ):
     """Depth-stratified normal equations: one (H_k, b_k, n_k) per stratum.
 
@@ -454,6 +475,7 @@ def stratified_normal_eq(
     ) = _esm_pointwise(
         T, kf_int, kf_points, kf_mask, kf_grads, cur_stack, intr, nu,
         sigma2_int, sigma2_xi, use_geometric, gate_sigmas, occlusion_gate,
+        stacked_gather=stacked_gather,
     )
 
     cols = []

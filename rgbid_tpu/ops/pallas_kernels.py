@@ -237,6 +237,7 @@ def residuals_and_normal_eq_pallas(
     use_geometric: bool = True,
     gate_sigmas: float = 3.0,
     sigma_mode: str = "exact",
+    stacked_gather=None,
 ) -> IrlsResult:
     """Identical contract to the XLA twin; fused Pallas reductions.
 
@@ -251,7 +252,9 @@ def residuals_and_normal_eq_pallas(
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
     # One 4-corner-gather pass for all three current-frame planes.
     cur_stack = jnp.stack([cur_int, cur_xi, cur_mask])
-    i_s, xi_s, mask_ok, inb = sample_tracker_planes(cur_stack, up, vp)
+    i_s, xi_s, mask_ok, inb = sample_tracker_planes(
+        cur_stack, up, vp, stacked_gather
+    )
     valid = kf_mask * front * inb * mask_ok
 
     if sigma_mode == "exact":
@@ -452,7 +455,7 @@ def fusion_pallas(
 def _esm_kernel(
     par_ref, kf_int_ref, rho_ref, valid_ref, px_ref, py_ref, pz_ref,
     kfg_ref, smp_ref, out_ref, *, nu, gate2, use_geometric, avg_grads=True,
-    occlusion_gate=False,
+    avg_int=True, occlusion_gate=False,
 ):
     """par (1, 8) SMEM: [fx, fy, s2i, s2x, r31, r32, r33, gate_cap2]
     where r3* is the third rotation row of the current pose estimate
@@ -514,14 +517,22 @@ def _esm_kernel(
         -rho2 * (Px * r32 - Py * r31),
     )
 
-    # ESM gradients: average of template and warped-current gradients —
-    # or template-only at fine levels (avg_grads=False; samples carry just
-    # [i_s, xi_s] then).
+    # ESM gradients: average of template and warped-current gradients on
+    # both channels (avg_grads, 7-plane stack), on intensity only
+    # (avg_int, 5-plane stack — opt-in; template gradients carry
+    # the geometric channel), or template-only at fine levels (samples
+    # carry just [i_s, xi_s] then). Static flags mirror the XLA twin's
+    # channel-count dispatch.
     if avg_grads:
         gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
         gyi = 0.5 * (kfg_ref[1].astype(jnp.float32) + smp_ref[4])
         gxx = 0.5 * (kfg_ref[2].astype(jnp.float32) + smp_ref[5])
         gyx = 0.5 * (kfg_ref[3].astype(jnp.float32) + smp_ref[6])
+    elif avg_int:
+        gxi = 0.5 * (kfg_ref[0].astype(jnp.float32) + smp_ref[3])
+        gyi = 0.5 * (kfg_ref[1].astype(jnp.float32) + smp_ref[4])
+        gxx = kfg_ref[2].astype(jnp.float32)
+        gyx = kfg_ref[3].astype(jnp.float32)
     else:
         gxi = kfg_ref[0].astype(jnp.float32)
         gyi = kfg_ref[1].astype(jnp.float32)
@@ -570,18 +581,23 @@ def esm_residuals_and_normal_eq_pallas(
     gate_sigmas: float = 3.0,
     occlusion_gate: bool = False,
     gate_cap: float = 0.0,
+    stacked_gather=None,
 ) -> IrlsResult:
     """Pallas twin of gauss_newton.esm_residuals_and_normal_eq.
 
-    Accepts a (7, H, W) ESM stack or a (3, H, W) [I, xi, mask] stack —
-    with 3 channels the template gradients are used alone (fine-level
-    mode) and only the 2 sampled residual planes enter the kernel.
+    Accepts a (7, H, W) ESM stack (gradient averaging on both channels),
+    a (5, H, W) [I, xi, mask, gxI, gyI] stack (averaging on intensity
+    only — opt-in via esm_geo_min_level), or a (3, H, W) [I, xi, mask] stack (template
+    gradients alone, fine-level mode; only the 2 sampled residual planes
+    enter the kernel then).
     """
-    avg_grads = cur_stack7.shape[0] >= 7
+    n_ch = cur_stack7.shape[0]
+    avg_grads = n_ch >= 7
+    avg_int = n_ch >= 5
     Px, Py, Pz = kf_points
     up, vp, rho, front = transform_project(Px, Py, Pz, T, intr)
-    samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp)
-    if not avg_grads:
+    samples, mask_ok, inb = sample_stack7(cur_stack7, up, vp, stacked_gather)
+    if not avg_int:
         samples = samples[:2]
     valid = kf_mask * front * inb * mask_ok
 
@@ -611,7 +627,7 @@ def esm_residuals_and_normal_eq_pallas(
         functools.partial(
             _esm_kernel, nu=nu, gate2=gate_sigmas**2,
             use_geometric=use_geometric, avg_grads=avg_grads,
-            occlusion_gate=occlusion_gate,
+            avg_int=avg_int, occlusion_gate=occlusion_gate,
         ),
         grid=(grid,),
         in_specs=[

@@ -76,8 +76,12 @@ def warp_points(xi_ref: jax.Array, mask_ref: jax.Array, T: jax.Array, intr: Intr
 # in an isolated probe but 4 ms/frame SLOWER in the production flight
 # pipeline (round-3 A/B: 83.1 vs 78.9 ms/frame on the VGA bench clip) —
 # another probe-vs-production inversion (SURVEY.md Appendix D #1), so
-# the split form stays the default. Module-level so probes can flip it
-# at trace time; semantics are bit-identical either way.
+# the split form stays the default. Semantics are bit-identical either
+# way. This module global is the DEFAULT for call sites without a
+# config (fusion's once-per-fused-frame pass, relocalization); the
+# per-iteration tracker hot path reads TrackingConfig.stacked_gather
+# and passes it explicitly (round 4 — the real-v5e preset flips it in
+# one switch instead of a module-global archaeology exercise).
 STACKED_GATHER = False
 
 
@@ -97,11 +101,13 @@ def _corner_weights(u, v, h, w):
     return inb, u0, v0, u1, v1, fu, fv
 
 
-def _gather_corners(stack: jax.Array, u0, v0, u1, v1):
+def _gather_corners(stack: jax.Array, u0, v0, u1, v1, stacked=None):
     """Gather the 4 bilinear corners of a (C, H, W) stack.
 
-    Returns (C, 4, H, W) in corner order [00, 01, 10, 11]."""
-    if STACKED_GATHER:
+    Returns (C, 4, H, W) in corner order [00, 01, 10, 11]. ``stacked``
+    overrides the module-global STACKED_GATHER default (trace-time
+    static)."""
+    if STACKED_GATHER if stacked is None else stacked:
         vs = jnp.stack([v0, v0, v1, v1])
         us = jnp.stack([u0, u1, u0, u1])
         return stack[:, vs, us]
@@ -116,7 +122,9 @@ def _gather_corners(stack: jax.Array, u0, v0, u1, v1):
     )
 
 
-def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
+def sample_tracker_planes(
+    stack3: jax.Array, u: jax.Array, v: jax.Array, stacked=None
+):
     """Sample [intensity, xi, mask] (3, H, W) at shared (u, v) with ONE
     stacked corner gather (vs 12 gathers when sampling the planes
     separately — on the sandbox TPU every gather op carries a multi-ms
@@ -130,7 +138,7 @@ def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
     """
     _, h, w = stack3.shape
     inb, u0, v0, u1, v1, fu, fv = _corner_weights(u, v, h, w)
-    s = _gather_corners(stack3, u0, v0, u1, v1)  # (3, 4, H, W)
+    s = _gather_corners(stack3, u0, v0, u1, v1, stacked)  # (3, 4, H, W)
     cw = jnp.stack(
         [(1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv]
     )
@@ -139,7 +147,7 @@ def sample_tracker_planes(stack3: jax.Array, u: jax.Array, v: jax.Array):
     return blend[0], blend[1], mask_ok, inb
 
 
-def sample_stack7(stack7: jax.Array, u: jax.Array, v: jax.Array):
+def sample_stack7(stack7: jax.Array, u: jax.Array, v: jax.Array, stacked=None):
     """Like sample_tracker_planes but for the 7-channel ESM stack
     [I, xi, mask, gxI, gyI, gxXi, gyXi]: one stacked corner gather;
     channel 2 (mask) gets exact all-corners product semantics, the rest
@@ -149,7 +157,7 @@ def sample_stack7(stack7: jax.Array, u: jax.Array, v: jax.Array):
     """
     _, h, w = stack7.shape
     inb, u0, v0, u1, v1, fu, fv = _corner_weights(u, v, h, w)
-    s = _gather_corners(stack7, u0, v0, u1, v1)  # (7, 4, H, W)
+    s = _gather_corners(stack7, u0, v0, u1, v1, stacked)  # (C, 4, H, W)
     cw = jnp.stack(
         [(1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv]
     )

@@ -338,7 +338,17 @@ class SlamSystem:
         # retiring keyframe's final fused planes are the step's INPUT state,
         # retained in the dispatch record for exactly this moment (flights
         # may hand us the switch flag several frames after the fact).
-        self.manager.finalize(old, rec["prev_state"])
+        #
+        # Finalization (a ~1 MB packed readback + cloud extraction + the
+        # ORB/BoW pipeline) runs on the BACK-END thread when one exists:
+        # on the sandbox TPU the readback alone stalls the front end
+        # ~60-100 ms, and round 4's churn bench measured ~460 ms marginal
+        # per switch with everything on the caller thread — the retiring
+        # keyframe's device pytree rides the submit queue and stays alive
+        # until the back end has read it. Without a back end, finalize
+        # stays synchronous (same artifacts, caller pays).
+        if self.backend is None:
+            self.manager.finalize(old, rec["prev_state"])
         new = self.manager.new_keyframe(timestamp, T_wc)
         new.rgb = np.ascontiguousarray(rec["rgb"])
         if self.viewer is not None:
@@ -349,7 +359,7 @@ class SlamSystem:
             old.kf_id, new.kf_id, se3_np.inv(T_ck), info
         )
         if self.backend is not None:
-            self.backend.submit(old)
+            self.backend.submit(old, rec["prev_state"])
 
     def _record(self, timestamp, T_wc, res: Optional[StepResult]):
         self._trajectory.append((timestamp, T_wc.copy()))
@@ -465,6 +475,31 @@ class SlamSystem:
         for rec_stat in self.stats[-len(poses) :]:
             rec_stat.setdefault("ms", ms)
         return poses
+
+    def reset(self) -> None:
+        """Clear all tracking/map/backend state for a fresh sequence while
+        KEEPING the compiled device programs (the ProcessFrame jit and its
+        caches) — constructing a new SlamSystem pays the multi-minute VGA
+        bootstrap compile again on the sandbox TPU (SURVEY.md App. D #5).
+        Used by multi-sequence runs (bench.py's keyframe-churn variant,
+        live restarts). The back-end thread, if any, is drained and
+        replaced with a fresh one (the BoW database and pose graph are
+        per-sequence state)."""
+        if self.backend is not None:
+            self.backend.finish()
+            from .backend.loop_closure import BackendThread
+
+            self.backend = BackendThread(self)
+        self.manager = KeyframeManager(
+            self.intr, reloc_level=self.config.backend.reloc_level
+        )
+        self._kf_state = None
+        self._motion = None
+        self._trajectory = []
+        self._frame_count = 0
+        self._lost_count = 0
+        self._relocalized = False
+        self.stats = []
 
     def finish(self) -> None:
         """Finalize the active keyframe and drain the back end."""

@@ -23,10 +23,16 @@ class FrameLevel(NamedTuple):
     xi: jax.Array  # (H, W) f32 inverse depth (0 where invalid)
     mask: jax.Array  # (H, W) f32 {0, 1}
     # ESM mode only: the channel stack sampled jointly (4 corner gathers
-    # total) per IRLS iteration. Levels >= esm_min_level carry the full
-    # (7, H, W) [I, xi, mask, gxI, gyI, gxXi, gyXi] for ESM gradient
-    # averaging; finer levels carry only (3, H, W) [I, xi, mask] (template
-    # gradients are used there — see config.TrackingConfig.esm_min_level).
+    # total) per IRLS iteration. Channel count by level (consumers
+    # dispatch on it; see config.TrackingConfig.esm_min_level /
+    # esm_geo_min_level):
+    #   level >= esm_geo_min_level: (7, H, W) [I, xi, mask, gxI, gyI,
+    #       gxXi, gyXi] — ESM averaging on both channels;
+    #   esm_min_level <= level < esm_geo_min_level: (5, H, W)
+    #       [I, xi, mask, gxI, gyI] — averaging on intensity only,
+    #       template gradients carry the geometric channel;
+    #   level < esm_min_level: (3, H, W) [I, xi, mask] — template
+    #       gradients for both channels.
     # None in IC mode.
     stack7: jax.Array | None = None
 
@@ -50,18 +56,23 @@ def preprocess_frame(
     esm: bool = False,
     esm_min_level: int = 0,
     plane_dtype=jnp.float32,
+    esm_geo_min_level: int = 0,
 ) -> Tuple[FrameLevel, ...]:
     """K1 + K3: raw sensor planes -> intensity/inverse-depth pyramids.
 
     Runs entirely on device from the raw u8/u16 uploads (SURVEY.md §7
     stance 6: pack uploads raw, convert on device). Pass the config's
-    ``esm_min_level`` to get pyramids structurally identical to the
-    production program's (levels below it carry 3-channel stacks).
+    ``esm_min_level``/``esm_geo_min_level`` to get pyramids structurally
+    identical to the production program's (see FrameLevel.stack7 for the
+    per-level channel layout). The standalone default (0) keeps the
+    legacy full 7-plane stack at every ESM level; production callers
+    pass the config values.
     """
     intensity = image.intensity_from_rgb(rgb_u8)
     xi, mask = image.inverse_depth_from_u16(depth_u16, depth_scale, min_depth, max_depth)
     return preprocess_planes(
-        intensity, xi, mask, levels, esm, esm_min_level, plane_dtype
+        intensity, xi, mask, levels, esm, esm_min_level, plane_dtype,
+        esm_geo_min_level,
     )
 
 
@@ -73,6 +84,7 @@ def preprocess_planes(
     esm: bool = False,
     esm_min_level: int = 0,
     plane_dtype=jnp.float32,
+    esm_geo_min_level: int = 0,
 ) -> Tuple[FrameLevel, ...]:
     """Pyramid construction from already-converted level-0 planes (the
     production path unpacks a gray-u8 + depth-u16 packed upload instead of
@@ -97,10 +109,17 @@ def preprocess_planes(
             # {0,1} mask channel is exact in bf16.
             if l >= esm_min_level:
                 gx_i, gy_i = image.gradients_unmasked(ints[l])
-                gx_x, gy_x = image.gradients(xis[l], masks[l])
-                stack7 = jnp.stack(
-                    [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
-                ).astype(plane_dtype)
+                if l >= esm_geo_min_level:
+                    gx_x, gy_x = image.gradients(xis[l], masks[l])
+                    planes = [ints[l], xis[l], masks[l], gx_i, gy_i, gx_x, gy_x]
+                else:
+                    # 5-plane stack: ESM averaging on intensity only;
+                    # the geometric channel uses template gradients —
+                    # 29% fewer per-iteration gather bytes and two
+                    # fewer gradient convs at this level
+                    # (TrackingConfig.esm_geo_min_level).
+                    planes = [ints[l], xis[l], masks[l], gx_i, gy_i]
+                stack7 = jnp.stack(planes).astype(plane_dtype)
             else:
                 # Template-gradient levels: no current-frame gradients are
                 # sampled, so materialize only the 3 tracker planes.

@@ -303,6 +303,7 @@ def _process_frame_impl(
     cur = preprocess_planes(
         intensity, xi, mask, tcfg.levels, esm,
         getattr(tcfg, "esm_min_level", 0), plane_dtype,
+        getattr(tcfg, "esm_geo_min_level", 0),
     )
     # Constant-velocity prediction (on device; f32 compose chains need the
     # Newton-polar re-projection onto SO(3) — see core/se3.py).
@@ -555,6 +556,9 @@ class ProcessFrame:
                 preprocess_planes(
                     intensity, xi, mask, cfg.tracking.levels, esm,
                     getattr(cfg.tracking, "esm_min_level", 0),
+                    esm_geo_min_level=getattr(
+                        cfg.tracking, "esm_geo_min_level", 0
+                    ),
                 ),
                 intr,
                 cfg.fusion,

@@ -324,6 +324,7 @@ def _track_impl(
                         cfg.use_geometric, cfg.gate_sigmas,
                         getattr(cfg, "occlusion_gate", False),
                         gate_cap=gate_cap_l,
+                        stacked_gather=getattr(cfg, "stacked_gather", None),
                     )
                 else:
                     res = irls(
@@ -332,6 +333,7 @@ def _track_impl(
                         cfg.student_t_nu, s2i, s2x, cfg.sigma_iters,
                         cfg.use_geometric, cfg.gate_sigmas,
                         getattr(cfg, "sigma_mode", "exact"),
+                        stacked_gather=getattr(cfg, "stacked_gather", None),
                     )
                 if axis_name is not None:
                     res = gauss_newton.allreduce_irls(res, axis_name)
@@ -490,6 +492,7 @@ def _track_impl(
                 jnp.asarray(cfg.init_sigma_xi**2, jnp.float32),
                 strata, cfg.use_geometric, cfg.gate_sigmas,
                 occlusion_gate=True, axis_name=axis_name,
+                stacked_gather=getattr(cfg, "stacked_gather", None),
             )
             # Baseline from the keyframe (template aging): thresholds
             # inflate with motion magnitude — see analyze().
@@ -687,6 +690,7 @@ def _track_impl(
                 cfg.use_geometric, cfg.gate_sigmas,
                 getattr(cfg, "occlusion_gate", False),
                 gate_cap=getattr(cfg, "occ_gate_cap", 0.0),
+                stacked_gather=getattr(cfg, "stacked_gather", None),
             )
             if axis_name is not None:
                 r0 = gauss_newton.allreduce_irls(r0, axis_name)

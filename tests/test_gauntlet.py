@@ -10,6 +10,8 @@ required a real mechanism to survive:
 * moving occluder -> geometric occlusion gate on both residual channels
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -20,6 +22,7 @@ from rgbid_tpu.eval import absolute_trajectory_error
 from rgbid_tpu.system import SlamSystem
 
 INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
+VGA = Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
 
 
 def _run(seq_kwargs, n_frames=36, **cfg_over):
@@ -95,6 +98,78 @@ def test_handheld_jitter():
                              jitter_trans=0.006, jitter_rot=0.004))
     assert ate < 0.009, ate
     assert not any(s.get("lost") for s in slam.stats)
+
+
+def test_vga_judged_resolution_guard():
+    """Regression guard AT THE JUDGED RESOLUTION (640×480, the default
+    4-level config — the shape every BENCH/BASELINE headline is measured
+    at). Every other default-suite accuracy bound runs at 320×240, so a
+    consensus/fusion regression specific to the VGA pyramid (level
+    count, switch thresholds, stratum pixel counts) would land silently
+    without this test (round-4 VERDICT item 3a). kinect_sensor scenario:
+    full-severity sensor degradation, measured 1.50 mm over 60 frames at
+    VGA on TPU; 24 frames keeps the CPU cost ~1.5 min."""
+    cfg = SlamConfig().override(**{"backend.enabled": False})
+    seq = synthetic.generate_sequence(
+        n_frames=24, intr=VGA, seed=3, xi_noise_sigma=0.005,
+        motion="orbit", trans_amp=0.25, rot_amp=0.08, kinect_artifacts=1.0,
+    )
+    slam = SlamSystem(VGA, cfg)
+    slam.feed(list(seq.frames()))
+    slam.finish()
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    ate = absolute_trajectory_error(
+        [gt0 @ T for T in seq.gt_poses], slam.poses()
+    )["rmse"]
+    assert ate < 0.006, ate
+    assert not any(s.get("lost") for s in slam.stats)
+
+
+# Round-3 VGA gauntlet table (BASELINE.md, 60 frames/scenario, TPU run
+# 2026-08-18): the one-shot evidence this RUN_SLOW test turns into a
+# regression guard. Bounds are 1.8x the recorded ATE (the gauntlet's
+# keyframe-switch timing is chaotically sensitive at the mm level across
+# XLA configs/platforms) with an absolute floor of 1.5 mm; the two
+# near-field mover rows get wider factors — they sit at a documented
+# architecture floor, not a converged optimum.
+_VGA_RECORDED_MM = {
+    "easy_orbit": (0.80, 1.8),
+    "handheld_jitter": (2.44, 1.8),
+    "large_motion": (5.06, 1.8),
+    "exposure_drift": (3.72, 1.8),
+    "depth_holes": (2.32, 1.8),
+    "moving_occluder_mid": (4.87, 1.8),
+    "moving_occluder_near": (173.7, 1.5),
+    "moving_occluder_near_walking": (27.7, 2.0),
+    "kinect_sensor": (1.50, 2.5),
+    "fr3_walking_standin": (34.9, 2.0),
+    "combined_endurance": (2.64, 1.8),
+}
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"), reason="set RUN_SLOW=1")
+def test_full_vga_gauntlet_matches_baseline():
+    """RUN_SLOW: the FULL hard-mode gauntlet at the judged 640×480 /
+    60 frames (round-4 VERDICT item 3b) — every scenario must stay
+    within its recorded BASELINE.md envelope. Uses eval.gauntlet's own
+    runner (incl. the compiled-system cache) so this is exactly the
+    battery behind the recorded table."""
+    from rgbid_tpu.eval.gauntlet import run_scenario, scenarios
+
+    cache = {}
+    failures = []
+    for name, seq_kwargs, cfg_over in scenarios(60):
+        r = run_scenario(name, seq_kwargs, cfg_over, 60, VGA, {}, cache)
+        rec, factor = _VGA_RECORDED_MM[name]
+        bound = max(rec * factor, 1.5)
+        ok = r["ate_rmse_mm"] <= bound
+        print(
+            f"{name}: {r['ate_rmse_mm']:.2f} mm "
+            f"(recorded {rec}, bound {bound:.1f}) {'OK' if ok else 'FAIL'}"
+        )
+        if not ok:
+            failures.append((name, r["ate_rmse_mm"], bound))
+    assert not failures, failures
 
 
 def test_kinect_sensor_model():

@@ -75,7 +75,10 @@ def test_pallas_esm_kernel_matches_xla_on_chip(hw):
     pts = backproject_grid(kxi, intr)
     T = jnp.asarray(se3_np.exp([0.01, -0.02, 0.015, 0.004, -0.006, 0.008]), jnp.float32)
 
-    for stack in (stack7, stack7[:3]):  # full ESM and template-grad modes
+    # full ESM (7), intensity-only averaging (5 — opt-in via
+    # esm_geo_min_level), and template-grad (3) modes; the 5-plane
+    # layout is exactly the 7-stack's first five channels.
+    for stack in (stack7, stack7[:5], stack7[:3]):
         a = esm_residuals_and_normal_eq_pallas(
             T, kI, pts, km, kfg, stack, intr, 5.0, 0.01, 0.0025
         )

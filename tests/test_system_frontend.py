@@ -120,3 +120,29 @@ def test_pcd_export_round_trip(run, tmp_path):
     np.testing.assert_allclose(a[:, :3], b[:, :3], atol=0)
     # Both writers quantize color to u8, so they must agree exactly.
     np.testing.assert_allclose(a[:, 3:], b[:, 3:], atol=1e-6)
+
+
+def test_reset_is_deterministic():
+    """reset() must produce a system indistinguishable from a fresh one:
+    feeding the same clip twice through one system (reset between) gives
+    bit-identical trajectories — the invariant the gauntlet's
+    compiled-system reuse and bench.py's churn variant rely on."""
+    seq = synthetic.generate_sequence(
+        n_frames=12, intr=INTR, motion="orbit", trans_amp=0.25,
+        rot_amp=0.08, xi_noise_sigma=0.004, seed=5,
+    )
+    frames = list(seq.frames())
+    slam = SlamSystem(INTR, _config().override(pipeline_depth=4))
+    slam.feed(frames)
+    slam.finish()
+    first = [T.copy() for T in slam.poses()]
+    n_kf_first = len(slam.manager.keyframes)
+    slam.reset()
+    assert slam.poses() == [] and slam.stats == []
+    slam.feed(frames)
+    slam.finish()
+    second = slam.poses()
+    assert len(first) == len(second) == len(frames)
+    assert len(slam.manager.keyframes) == n_kf_first
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)

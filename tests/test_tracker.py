@@ -196,3 +196,68 @@ def test_bf16_plane_storage_matches_f32():
     assert poses["bf16"][1] < 2e-3
     d = se3_np.log(se3_np.inv(poses["f32"][0]) @ poses["bf16"][0])
     assert np.linalg.norm(d) < 1e-3, d
+
+
+def test_esm_5plane_stack_matches_7plane(pair):
+    """The opt-in per-level stack split (esm_geo_min_level=2: 7-plane at
+    coarse levels, 5-plane [I, xi, mask, gxI, gyI] at the fine ESM level
+    — ESM averaging on intensity only, template gradients for the
+    geometric channel) must converge like the full 7-plane stack on a
+    clean pair — and both kernels (XLA twin + Pallas interpret) must
+    agree exactly on the 5-channel layout. (The knob defaults OFF: with
+    depth noise the geometric averaging is load-bearing — 16.7-17.7 vs
+    5.3 mm on the noisy loop clip — see TrackingConfig.esm_geo_min_level
+    for the measured record.)"""
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+    from rgbid_tpu.ops import gauss_newton
+    from rgbid_tpu.ops.pallas_kernels import esm_residuals_and_normal_eq_pallas
+    from rgbid_tpu.ops.warp import backproject_grid
+
+    f0, f1, T0, T1 = pair
+    T_gt = np.linalg.inv(T1) @ T0
+    errs = {}
+    for geo_min in (0, 2):
+        pyr0 = preprocess_frame(
+            jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3, esm=True,
+            esm_geo_min_level=geo_min,
+        )
+        pyr1 = preprocess_frame(
+            jnp.asarray(f1[0]), jnp.asarray(f1[1]), 3, esm=True,
+            esm_geo_min_level=geo_min,
+        )
+        assert pyr1[1].stack7.shape[0] == (5 if geo_min == 2 else 7)
+        assert pyr1[2].stack7.shape[0] == 7
+        kf = create_device_keyframe(pyr0, INTR, FusionConfig(), jacobian="esm")
+        cfg = TrackingConfig(
+            levels=3, iters=(4, 8, 16), jacobian="esm",
+            esm_geo_min_level=geo_min,
+        )
+        res = Tracker(INTR, cfg).track(kf.levels, pyr1, jnp.eye(4))
+        err = se3_np.log(se3_np.inv(T_gt) @ np.asarray(res.T, np.float64))
+        errs[geo_min] = np.linalg.norm(err)
+    assert errs[2] < 1e-3, errs  # converges
+    assert errs[2] <= max(2.0 * errs[0], 5e-4), errs  # no regression
+
+    # Twin equality on the 5-channel stack (one IRLS evaluation).
+    lvl = 1
+    pyr0 = preprocess_frame(jnp.asarray(f0[0]), jnp.asarray(f0[1]), 3, esm=True)
+    pyr1 = preprocess_frame(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), 3, esm=True,
+        esm_geo_min_level=2,
+    )
+    kf = create_device_keyframe(pyr0, INTR, FusionConfig(), jacobian="esm")
+    kl, cl = kf.levels[lvl], pyr1[lvl]
+    from rgbid_tpu.core.camera import level_intrinsics
+
+    intr_l = level_intrinsics(INTR, lvl)
+    pts = backproject_grid(kl.xi, intr_l)
+    T = jnp.asarray(T_gt, jnp.float32)
+    args = (T, kl.intensity, pts, kl.mask, kl.jac, cl.stack7, intr_l,
+            5.0, jnp.asarray(0.01), jnp.asarray(0.0025))
+    a = esm_residuals_and_normal_eq_pallas(*args)
+    b = gauss_newton.esm_residuals_and_normal_eq(*args)
+    np.testing.assert_allclose(np.asarray(a.H), np.asarray(b.H), rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.b), np.asarray(b.b), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(float(a.n_valid), float(b.n_valid), rtol=1e-6)
+    np.testing.assert_allclose(float(a.error), float(b.error), rtol=1e-4)
