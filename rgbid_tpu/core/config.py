@@ -272,6 +272,43 @@ class TrackingConfig:
     # 53-67 mm with stress flags raised.
     div_trans_thresh: float = 0.03  # meters
     div_rot_thresh: float = 0.04  # radians
+    # 3. attack_probe — the round-4 answer that finally moved the
+    #    ballistic row (forensics in BASELINE.md round-4). At ballistic
+    #    onset the coarse solve locks onto the mover within ONE frame,
+    #    so every per-stratum test runs at a MOVER-locked pose: the vote
+    #    excludes the static band the mover currently occludes (the
+    #    victim), the resolution-limited far background sides with the
+    #    mover, and the mover's own information share (1.7x pixel share)
+    #    is indistinguishable from a rigid near band's (1.4x) — nothing
+    #    names the attacker directly, which is why divergence_guard /
+    #    div_rescue / a lower hostage gate all measured useless here.
+    #    The probe inverts the question: a vote exclusion under a CLEAR
+    #    majority is the (1-frame, persistence-free) signature that SOME
+    #    agreeing stratum holds the pose, and the only one that CAN is
+    #    the highest information-density agreeing minority voter (1/z^2
+    #    is the attack vector). Response: one masked re-track from the
+    #    prior with that stratum removed, accepted only if it fits the
+    #    retained template STRICTLY better (probe_margin) — a rigid
+    #    false fire re-converges to the same pose and the tie is
+    #    rejected. An ACCEPTED probe also hands the streak to the probed
+    #    attacker (tracker.py streak transfer): the false accusation
+    #    decays and the episode mask ripens on the MOVER within
+    #    consensus_persist frames of onset. Measured (QVGA 60 f, full
+    #    system, TPU): ballistic mover 151.9 -> 14.4 mm, fr3/walking
+    #    stand-in 37.2 -> 4.1 mm, and the other NINE gauntlet rows
+    #    (walking, handheld, large_motion, exposure, depth_holes, mid
+    #    mover, kinect, easy orbit, combined endurance) BIT-IDENTICAL —
+    #    hence default ON.
+    attack_probe: bool = True
+    # Strict acceptance margin for the attack probe: the probed pose's
+    # fixed-sigma level-0 error on the retained template must be below
+    # margin * the main pose's. 1.0 would accept ties (measured unsafe
+    # for premature rescues, round 3); the ballistic onset separation is
+    # huge (measured err_r = 0.20x err_m at the true pose, f25 of the
+    # forensic clip), so 0.9 keeps full sensitivity with a real
+    # rejection band for rigid fires (measured ties: err_r/err_m
+    # 0.95-1.1 on rigid hard frames — all rejected).
+    probe_margin: float = 0.9
     # Per-level early exit: stop a level's IRLS loop once the solved pose
     # step's twist norm (meters + radians) falls below this; cfg.iters then
     # acts as a BUDGET — hard frames spend it all, converged frames skip
@@ -507,11 +544,16 @@ class SlamConfig:
     # device programs are chained with NO host sync (on-device motion model
     # + in-program keyframe switching), then read back together. Amortizes
     # the ~28 ms fixed host-readback cost of the sandbox TPU; 1 = the
-    # classic sync-every-frame loop. 16 measured ~1.2 ms/frame faster
-    # than 8 at VGA with no accuracy change (round 3); pose-graph
-    # corrections publish at flight granularity, so much deeper flights
-    # would delay live rebases.
-    pipeline_depth: int = 16
+    # classic sync-every-frame loop. Round-4 sweep (same tenancy): 16 →
+    # 69.5, 24 → 69.6, 32 → 67.3 ms/frame at VGA (readback /32 plus
+    # dispatch amortization), with BIT-IDENTICAL gauntlet ATE on all
+    # five sensitive rows (ballistic/walking movers, large_motion,
+    # handheld, depth_holes) — so 32 is the default. The price is host
+    # LATENCY, not accuracy: poses/keyframe finalize/pose-graph rebases
+    # publish at flight granularity (~2.2 s at 30 Hz input), and a
+    # mid-flight tracking loss replays up to a flight of frames. Live /
+    # latency-sensitive deployments should drop to 8-16.
+    pipeline_depth: int = 32
 
     # ------------------------------------------------------------------
     @classmethod

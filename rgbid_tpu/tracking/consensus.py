@@ -89,6 +89,16 @@ class ConsensusResult(NamedTuple):
     # signature; see analyze docstring). Set only when no vote majority
     # could form.
     hostage: jax.Array = None
+    # (K,) f32 Fisher-information share per stratum (trace of the raw-sum
+    # J^T W J over the strata total) — the dominance diagnostic.
+    info_share: jax.Array = None
+    # (K,) f32: information-dominant pixel-minority voter strata — the
+    # hostage CANDIDATES, without the hostage's decorrelation/persistence
+    # preconditions. The dominance-probe rescue (tracker.py) uses this as
+    # its one-frame hypothesis mask: only a dominant minority CAN drag
+    # the pose, so it is the only stratum worth a masked re-track before
+    # any streak has ripened.
+    dominant: jax.Array = None
 
 
 class ConsensusDecision(NamedTuple):
@@ -312,6 +322,8 @@ def analyze(
         majority_ok=majority_ok,
         deltas=deltas,
         hostage=hostage,
+        info_share=info_share,
+        dominant=(dominant & (nk < 0.35 * n_total)).astype(jnp.float32),
     )
 
 

@@ -280,6 +280,8 @@ def _track_impl(
         rescue_flag = jnp.asarray(False)
         flags_any = jnp.zeros((n_bins,), jnp.float32)
         nk_last = jnp.ones((n_bins,), jnp.float32)
+        probe_fire = jnp.asarray(False)
+        probe_cand = jnp.zeros((n_bins,), jnp.float32)
 
     def make_runner(level):
         kl, cl = kf[level], cur[level]
@@ -520,6 +522,14 @@ def _track_impl(
                 getattr(cfg, "consensus_err_floor", 1.0),
                 baseline_scale=bscale,
             )
+            if _DEBUG_LEVELS:
+                jax.debug.print(
+                    "  VOTE L{l} nk={nk} info={i} excl={e} host={h} dom={d} maj={m}",
+                    l=level, nk=jnp.round(nk / jnp.maximum(jnp.sum(nk), 1.0), 2),
+                    i=jnp.round(verdict.info_share, 2),
+                    e=verdict.excluded, h=verdict.hostage,
+                    d=verdict.dominant, m=verdict.majority_ok,
+                )
             flags_any = jnp.maximum(
                 flags_any, jnp.maximum(verdict.excluded, verdict.hostage)
             )
@@ -529,6 +539,54 @@ def _track_impl(
                 getattr(cfg, "consensus_max_frac", 0.4),
                 getattr(cfg, "consensus_persist", 3),
             )
+            if getattr(cfg, "attack_probe", False):
+                # ATTACK-PROBE candidate (round-4 ballistic-onset fix).
+                # Forensic record (BASELINE.md round-4): at ballistic
+                # onset the coarse solve locks onto the panel within ONE
+                # frame, so the vote runs at a MOVER-locked pose and its
+                # exclusion flag lands on the static band the panel
+                # currently occludes (the victim), while the resolution-
+                # limited far background sides with the panel — the
+                # mover itself is never named by any per-stratum test
+                # (measured info share 1.7x pixel share at onset vs
+                # 1.4x for rigid near bands: dominance cannot separate
+                # them, which is why the 2x hostage gate correctly
+                # stays silent there). The one identifiable signature:
+                # a vote exclusion under a CLEAR majority names a
+                # victim, and the only stratum that CAN drag the pose
+                # is the highest information-DENSITY agreeing minority
+                # voter (1/z^2 is the attack vector). Probe that
+                # hypothesis: re-track the pyramid from the prior with
+                # that stratum masked, accepted post-loop only on a
+                # STRICT evidence margin (probe_margin < 1) — a rigid
+                # false fire re-converges to the same pose and the tie
+                # is rejected (the round-3 premature-rescue lesson:
+                # ties must not win).
+                tot_k = jnp.maximum(jnp.sum(nk), 1.0)
+                voter_k = nk >= cfg.consensus_min_frac * tot_k
+                pool = (
+                    voter_k
+                    & (verdict.excluded < 0.5)
+                    & (nk < 0.35 * tot_k)
+                )
+                dens = jnp.where(
+                    pool,
+                    verdict.info_share / jnp.maximum(nk / tot_k, 1e-6),
+                    -1.0,
+                )
+                fire_l = (
+                    (jnp.sum(verdict.excluded) > 0.5)
+                    & verdict.majority_ok
+                    & jnp.any(pool)
+                )
+                probe_cand = jnp.where(
+                    fire_l,
+                    jax.nn.one_hot(
+                        jnp.argmax(dens), n_bins, dtype=jnp.float32
+                    ),
+                    probe_cand,
+                )
+                probe_fire = probe_fire | fire_l
             member2 = member * decision.member
             # Report the LARGEST per-level excluded fraction, not the sum:
             # when both vote levels flag the same strata in one frame a
@@ -675,6 +733,25 @@ def _track_impl(
             consensus_frac = jnp.maximum(
                 consensus_frac, jnp.where(div_fire, frac, 0.0)
             )
+        rescue_margin = jnp.asarray(1.0, jnp.float32)
+        if getattr(cfg, "attack_probe", False):
+            # Fold the attack probe into the one traced rescue pyramid:
+            # it fires only when no hostage/divergence rescue does, masks
+            # the probed attacker stratum, and must BEAT the main pose by
+            # the strict margin (hostage/div rescues keep their measured
+            # tie-accepting semantics via margin 1).
+            probe_go = probe_fire & jnp.logical_not(rescue_any)
+            rescue_member = jnp.where(
+                probe_go, member * (1.0 - probe_cand), rescue_member
+            )
+            rescue_margin = jnp.where(
+                probe_go,
+                jnp.asarray(
+                    float(getattr(cfg, "probe_margin", 0.9)), jnp.float32
+                ),
+                rescue_margin,
+            )
+            rescue_any = rescue_any | probe_go
         T_main = main_out[0]
 
         def _err0_fixed(Tq, mask0):
@@ -696,32 +773,65 @@ def _track_impl(
                 r0 = gauss_newton.allreduce_irls(r0, axis_name)
             return r0.error
 
-        def _rescue_branch(m):
+        def _rescue_branch(args):
             """Masked re-track from the prior, accepted ONLY on evidence:
             the rescued pose must fit the RETAINED (non-mover) level-0
-            template at least as well as the main pose does on the same
-            mask with the same fixed sigmas. A premature rescue (slow
-            mover whose early dominance frames are ambiguous) re-tracks
-            to a worse static fit and is rejected — which is what lets
-            the hostage gate fire a frame earlier than the vote path
-            without the measured walking regression (19 -> 56 mm when
-            early rescues were accepted unconditionally)."""
+            template at least as well (hostage/div rescues, margin 1) or
+            STRICTLY better (attack probe, margin < 1) than the main pose
+            does on the same mask with the same fixed sigmas. A premature
+            rescue (slow mover whose early dominance frames are
+            ambiguous) re-tracks to a worse static fit and is rejected —
+            which is what lets the hostage gate fire a frame earlier than
+            the vote path without the measured walking regression
+            (19 -> 56 mm when early rescues were accepted
+            unconditionally)."""
+            m, margin = args
             resc = run_pyramid(m, T_init, s2i0, s2x0)
             mask0_r = resc[7]
             err_r = _err0_fixed(resc[0], mask0_r)
             err_m = _err0_fixed(T_main, mask0_r)
+            if _DEBUG_LEVELS:
+                jax.debug.print(
+                    "  RESCUE err_r={r:.4f} err_m={m:.4f} margin={g}"
+                    " member={mb} dT={d} (mm, rescued-main)",
+                    r=err_r, m=err_m, g=margin, mb=m,
+                    d=jnp.round((resc[0][:3, 3] - T_main[:3, 3]) * 1e3, 1),
+                )
+            acc = err_r <= margin * err_m
             return jax.lax.cond(
-                err_r <= err_m, lambda: resc, lambda: main_out
-            )
+                acc, lambda: resc, lambda: main_out
+            ) + (acc.astype(jnp.float32),)
 
         (
-            T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied
+            T, s2i, s2x, H_last, errs_s, inls_s, nvs_s, mask0_applied,
+            rescue_accepted,
         ) = jax.lax.cond(
             rescue_any,
             _rescue_branch,
-            lambda m: main_out,
-            rescue_member,
+            lambda args: main_out + (jnp.asarray(0.0, jnp.float32),),
+            (rescue_member, rescue_margin),
         )
+        if getattr(cfg, "attack_probe", False):
+            # STREAK TRANSFER on an accepted attack probe: the vote flag
+            # that triggered it was cast at a MOVER-locked pose, so the
+            # accusation named the victim (the static band the mover
+            # occludes), not the attacker. Feeding that flag into the
+            # streak is the measured poison — the victim's streak ripens,
+            # the episode mask cripples the static template mid-drag, and
+            # the probed attacker stays unmasked (f27 in the round-4
+            # forensic: victim + attacker both masked left only the far
+            # band, the probe got rejected, and 53 mm leaked through).
+            # An accepted probe is EVIDENCE the attacker hypothesis is
+            # right: credit the streak to the probed stratum and let the
+            # false accusation decay, so the episode mask ripens on the
+            # MOVER within consensus_persist frames of onset.
+            probe_accept = probe_go & (rescue_accepted > 0.5)
+            transfer = jnp.where(
+                probe_cand > 0.5,
+                jnp.minimum(hist_real + 1.0, streak_cap),
+                jnp.maximum(hist_real - 1.0, 0.0),
+            )
+            cons_excluded = jnp.where(probe_accept, transfer, cons_excluded)
         # rescue_out feeds the keyframe-REFOUND decision (rescue_refound)
         # and is gated on the rescue's pose CORRECTION, not on the rescue
         # having fired: on a rigid false positive the masked re-track

@@ -312,3 +312,73 @@ def test_analyze_two_voter_votes_never_flag():
     res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
     assert not bool(res.majority_ok)
     np.testing.assert_array_equal(np.asarray(res.excluded), 0.0)
+
+
+def test_analyze_exposes_dominance_candidates():
+    """`ConsensusResult.dominant` must name information-dominant pixel-
+    MINORITY voter strata (the attack-probe candidate pool) and stay
+    silent on majority or low-density strata."""
+    from rgbid_tpu.tracking import consensus as cons
+    import jax.numpy as jnp
+
+    K = 6
+    # Stratum 1: far majority (47%), low information density.
+    # Stratum 2: mid static (32%), ~proportional information.
+    # Stratum 3: near minority (21%), 3x information density.
+    nk = jnp.asarray([0.0, 4700.0, 3200.0, 2100.0, 0.0, 0.0])
+    info = [0.0, 4e3, 1e4, 3e4, 0.0, 0.0]
+    Hk = jnp.stack([i * jnp.eye(6) for i in info]) * nk[:, None, None]
+    bk = jnp.zeros((K, 6))
+    Gk = jnp.stack([1e4 * jnp.eye(6)] * K) * nk[:, None, None]
+    ek = 0.1 * nk
+    res = cons.analyze(Hk, bk, nk, Gk, ek, tol=0.4, min_frac=0.03)
+    dom = np.asarray(res.dominant)
+    assert dom[3] == 1.0, dom
+    np.testing.assert_array_equal(dom[[0, 1, 2, 4, 5]], 0.0)
+    share = np.asarray(res.info_share)
+    assert abs(share.sum() - 1.0) < 1e-5
+    assert share[3] > 0.5  # 21% of pixels, >50% of the information
+
+
+def test_attack_probe_arrests_ballistic_onset():
+    """The round-4 ballistic-onset fix (see TrackingConfig.attack_probe
+    and BASELINE.md round-4 forensics). The BALLISTIC near mover (the
+    panel crossing at ~0.11 m/frame) locks the coarse solve within one
+    frame of onset; pre-probe the system lost ~50 mm/frame for the
+    3-4 frames the persistence gate needs (QVGA drift 52 -> 318 mm over
+    f25-f30 of this exact clip). The probe must (a) fire and correct the
+    onset frames, and (b) hand the streak to the attacker so the episode
+    mask ripens on the MOVER, keeping drift arrested through transit.
+
+    Measured with the probe (CPU, this clip): drift <= 30 mm through
+    f45, raw RMSE ~20 mm. Bound set at 2x+ headroom; the unprotected
+    number (151.9 mm full-clip ATE, gauntlet row) is pinned in
+    BASELINE.md rather than re-run here (it costs a second compile)."""
+    seq = synthetic.generate_sequence(
+        n_frames=60,  # trajectory phase scales with n_frames: render the
+        intr=INTR,    # full gauntlet clip, feed only through transit
+        motion="orbit",
+        trans_amp=0.25,
+        rot_amp=0.08,
+        xi_noise_sigma=0.005,
+        moving_occluder=True,
+        occluder_z=1.4,
+        seed=3,
+    )
+    frames = list(seq.frames())[:42]
+    cfg = SlamConfig().override(
+        **{
+            "backend.enabled": False,
+            "tracking.attack_probe": True,
+        }
+    )
+    slam = SlamSystem(INTR, cfg)
+    slam.feed(frames)
+    slam.finish()
+    gt0 = np.linalg.inv(seq.gt_poses[0])
+    ate = absolute_trajectory_error(
+        [gt0 @ T for T in seq.gt_poses[:42]], slam.poses()
+    )
+    # The probe's accepted corrections surface as rescue frames.
+    assert any(s.get("rescue") for s in slam.stats), "probe never fired"
+    assert ate["rmse"] < 0.060, ate["rmse"]
