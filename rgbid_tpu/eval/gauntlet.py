@@ -62,11 +62,13 @@ def scenarios(n_frames: int):
         (
             # Near-field dominant mover (z 1.4 m vs 1.8-4 m background,
             # ~22% of pixels with 1/z^2-amplified Jacobians = ~2/3 of the
-            # Fisher information): the documented failure mode of
-            # non-segmenting dense VO — this system class (the reference
-            # included) follows the mover; kept in the gauntlet as the
-            # honest breaking point (cf. TUM fr3/walking_* results for
-            # DVO-class systems).
+            # Fisher information) crossing BALLISTICALLY (~0.11 m/frame):
+            # the documented failure mode of non-segmenting dense VO —
+            # this system class (the reference included) follows the
+            # mover (cf. TUM fr3/walking_* results for DVO-class
+            # systems). Was this repo's breaking point for three rounds
+            # (371 -> 152 mm); the round-4 attack probe fells it to
+            # single digits (9.3 mm VGA, BASELINE.md round-4 session 2).
             "moving_occluder_near",
             dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
                  moving_occluder=True, occluder_z=1.4, **hard_noise),

@@ -125,24 +125,26 @@ def test_vga_judged_resolution_guard():
     assert not any(s.get("lost") for s in slam.stats)
 
 
-# Round-3 VGA gauntlet table (BASELINE.md, 60 frames/scenario, TPU run
-# 2026-08-18): the one-shot evidence this RUN_SLOW test turns into a
-# regression guard. Bounds are 1.8x the recorded ATE (the gauntlet's
-# keyframe-switch timing is chaotically sensitive at the mm level across
-# XLA configs/platforms) with an absolute floor of 1.5 mm; the two
-# near-field mover rows get wider factors — they sit at a documented
-# architecture floor, not a converged optimum.
+# Round-4 VGA gauntlet table (BASELINE.md, 60 frames/scenario, TPU
+# clean-tenancy run 2026-08-19, attack_probe ON): the recorded evidence
+# this RUN_SLOW test turns into a regression guard. Bounds are 1.8x the
+# recorded ATE (the gauntlet's keyframe-switch timing is chaotically
+# sensitive at the mm level across XLA configs/platforms) with an
+# absolute floor of 1.5 mm; the two near-field mover rows get wider
+# factors — the probe's accept/reject sequence is the most chaotic
+# element in the system (one flipped acceptance shifts the episode
+# timeline).
 _VGA_RECORDED_MM = {
     "easy_orbit": (0.80, 1.8),
-    "handheld_jitter": (2.44, 1.8),
+    "handheld_jitter": (2.49, 1.8),
     "large_motion": (5.06, 1.8),
     "exposure_drift": (3.72, 1.8),
     "depth_holes": (2.32, 1.8),
     "moving_occluder_mid": (4.87, 1.8),
-    "moving_occluder_near": (173.7, 1.5),
+    "moving_occluder_near": (9.3, 3.0),
     "moving_occluder_near_walking": (27.7, 2.0),
     "kinect_sensor": (1.50, 2.5),
-    "fr3_walking_standin": (34.9, 2.0),
+    "fr3_walking_standin": (5.0, 3.0),
     "combined_endurance": (2.64, 1.8),
 }
 
