@@ -282,6 +282,7 @@ def _track_impl(
         nk_last = jnp.ones((n_bins,), jnp.float32)
         probe_fire = jnp.asarray(False)
         probe_cand = jnp.zeros((n_bins,), jnp.float32)
+        excl_any = jnp.zeros((n_bins,), jnp.float32)
 
     def make_runner(level):
         kl, cl = kf[level], cur[level]
@@ -587,6 +588,7 @@ def _track_impl(
                     probe_cand,
                 )
                 probe_fire = probe_fire | fire_l
+                excl_any = jnp.maximum(excl_any, verdict.excluded)
             member2 = member * decision.member
             # Report the LARGEST per-level excluded fraction, not the sum:
             # when both vote levels flag the same strata in one frame a
@@ -788,8 +790,32 @@ def _track_impl(
             m, margin = args
             resc = run_pyramid(m, T_init, s2i0, s2x0)
             mask0_r = resc[7]
-            err_r = _err0_fixed(resc[0], mask0_r)
-            err_m = _err0_fixed(T_main, mask0_r)
+            evid_mask = mask0_r
+            if getattr(cfg, "attack_probe", False):
+                # The probe's EVIDENCE must be judged only on UNACCUSED
+                # pixels: this frame's vote-excluded strata stay in the
+                # probe's re-track (in the ballistic case the excluded
+                # stratum is the static VICTIM and carries the pull-back
+                # signal) but must leave the comparison — when the vote
+                # accusation is CORRECT (walking regime: the mover itself
+                # is excluded), an evidence mask retaining the mover
+                # rewards the mover-locked hypothesis (measured on the
+                # seed-1 walking clip: one accepted wrong-way probe,
+                # dT 31 mm mover-ward at err ratio 0.75, +8 mm ATE). The
+                # hostage/div rescue paths already exclude their accused
+                # strata from mask0_r via decide(); this aligns the
+                # probe's evidence with the same rule.
+                kl0 = kf[0]
+                evid_member = 1.0 - jnp.clip(excl_any, 0.0, 1.0)
+                evid_mask = jnp.where(
+                    probe_go,
+                    _cons.member_mask(
+                        kl0.xi, mask0_r, edges, evid_member
+                    ),
+                    mask0_r,
+                )
+            err_r = _err0_fixed(resc[0], evid_mask)
+            err_m = _err0_fixed(T_main, evid_mask)
             if _DEBUG_LEVELS:
                 jax.debug.print(
                     "  RESCUE err_r={r:.4f} err_m={m:.4f} margin={g}"
