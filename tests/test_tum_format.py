@@ -175,7 +175,12 @@ def test_associate_fast_matches_bruteforce_and_scales():
     m = associate(a, b)
     dt = time.perf_counter() - t0
     assert len(m) > 2500
-    assert dt < 0.1, f"associate took {dt*1e3:.1f} ms"
+    # Complexity guard, not a latency SLO: the O(n^2) brute-force this
+    # protects against takes seconds at n=3000, while the shipped
+    # O(n log n) merge runs ~3 ms idle. The bound is deliberately loose
+    # (1 s) because the suite shares the host with TPU-tunnel clients
+    # and a 0.1 s bound measured 330 ms under co-tenancy (round-4 flake).
+    assert dt < 1.0, f"associate took {dt*1e3:.1f} ms"
 
 
 def test_load_calibration_formats(tmp_path):
