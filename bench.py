@@ -63,12 +63,18 @@ def main():
     cfg = SlamConfig()
     # A/B hook: BENCH_OVERRIDES="tracking.conv_skip_tol=1e-5,..." applies
     # dotted config overrides (values parsed as JSON) before the run.
+    # Either a JSON object ('{"tracking.iters": [1,2,3,4]}' — needed for
+    # list-valued fields) or the k=v,k=v shorthand for scalars.
     ov = os.environ.get("BENCH_OVERRIDES", "")
     if ov:
-        kv = {}
-        for item in ov.split(","):
-            k, v = item.split("=", 1)
-            kv[k.strip()] = json.loads(v)
+        if ov.lstrip().startswith("{"):
+            kv = json.loads(ov)
+        else:
+            kv = {}
+            for item in ov.split(","):
+                k, v = item.split("=", 1)
+                kv[k.strip()] = json.loads(v)
+        kv = {k: tuple(v) if isinstance(v, list) else v for k, v in kv.items()}
         cfg = cfg.override(**kv)
         print(f"bench: overrides {kv}", file=sys.stderr)
     depth = cfg.pipeline_depth

@@ -539,6 +539,16 @@ class SlamConfig:
     # 69.1/69.7 u16 vs 69.7/71.5 u12 ms/frame — a wash within tenancy
     # noise). On real v5e the decode is ~free on the VPU and 17% fewer
     # host->device bytes is a pure win: flip to "u12" there.
+    # "u16h": raw u16 depth decimated stride-2 on the host (real sensor
+    # values, no averaging) and reconstructed on device by a validity-
+    # renormalized bilinear 2x upsample (even coordinates bit-exact) —
+    # 0.92 -> 0.46 MB/frame at VGA. MEASURED NEGATIVE as a default
+    # (round 4 session 4): at pipeline_depth 32 the upload DMA fully
+    # overlaps compute, so halving the frame's bytes bought -0.4 ms
+    # (67.8 -> 67.4, tenancy noise) while bench ATE degraded 1.37 ->
+    # 2.37 mm and VGA kinect_sensor 1.01 -> 2.27 mm. Kept for
+    # bandwidth-starved deployments (depth-16 flights measured the DMA
+    # at ~23-26 ms/frame ON the critical path; u16h would win there).
     depth_codec: str = "u16"
     # Frames per pipelined flight in SlamSystem.feed(): that many per-frame
     # device programs are chained with NO host sync (on-device motion model

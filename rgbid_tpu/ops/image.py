@@ -75,6 +75,42 @@ def masked_blur(img: jax.Array, mask: jax.Array, stride: tuple[int, int] = (1, 1
     return out, den
 
 
+def _up2_axis(x: jax.Array, axis: int) -> jax.Array:
+    """2x linear upsample along ``axis``: out[2i] = x[i] (exact),
+    out[2i+1] = (x[i] + x[i+1]) / 2 (edge-clamped). Interleave rides a
+    stack+reshape (layout ops, no gathers)."""
+    n = x.shape[axis]
+    nxt = lax.concatenate(
+        [lax.slice_in_dim(x, 1, n, axis=axis),
+         lax.slice_in_dim(x, n - 1, n, axis=axis)],
+        dimension=axis,
+    )
+    mid = 0.5 * (x + nxt)
+    out = jnp.stack([x, mid], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
+def upsample2x_renorm(xi: jax.Array, mask: jax.Array):
+    """Validity-renormalized bilinear 2x upsample of a sparse-valid field.
+
+    (H, W) -> (2H, 2W). Even output coordinates reproduce the input
+    EXACTLY where valid (num/den = xi*m/m); odd coordinates interpolate
+    over the valid neighbors only (renorm by the upsampled mask), so a
+    valid/invalid boundary copies the valid side instead of bleeding
+    zeros. Output mask = any contributing input pixel valid.
+
+    Used by the half-resolution depth upload codec ("u16h", non-default:
+    at pipeline_depth 32 the upload DMA overlaps compute and byte savings
+    buy nothing — measured record in BASELINE.md round 4 session 4).
+    """
+    num = _up2_axis(_up2_axis(xi * mask, 0), 1)
+    den = _up2_axis(_up2_axis(mask, 0), 1)
+    out = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)
+    return out, (den > 1e-6).astype(jnp.float32)
+
+
 def downsample(img: jax.Array, mask: jax.Array, min_weight: float = 0.25):
     """One pyramid step: masked blur + 2x subsample (stride-2 convs)."""
     out, wgt = masked_blur(img, mask, stride=(2, 2))

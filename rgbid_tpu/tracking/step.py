@@ -215,6 +215,20 @@ def pack_frame(rgb_u8, depth_u16, cfg: SlamConfig | None = None):
         out[:, :w] = gray
         out[:, w:] = trip.reshape(h, (3 * w) // 2)
         return out
+    if cfg is not None and cfg.depth_codec == "u16h":
+        # Half-resolution depth upload: stride-2 decimation keeps REAL
+        # sensor values (no host averaging that would invent phantom
+        # depths at object edges); the device reconstructs full-res xi
+        # with a validity-renormalized bilinear 2x upsample
+        # (ops/image.upsample2x_renorm — even coordinates bit-exact).
+        # 0.92 -> 0.46 MB/frame at VGA against the sandbox's ~35-40
+        # ms/MB upload DMA floor; fidelity record in BASELINE.md.
+        assert h % 2 == 0 and w % 2 == 0, "u16h codec requires even H, W"
+        dh = np.ascontiguousarray(depth_u16[::2, ::2])
+        out = np.empty((h + h // 2, w), np.uint8)
+        out[:h] = gray
+        out[h:] = dh.view(np.uint8).reshape(h // 2, w)
+        return out
     d8 = np.ascontiguousarray(depth_u16).view(np.uint8).reshape(h, w, 2)
     out = np.empty((3, h, w), np.uint8)
     out[0] = gray
@@ -266,6 +280,23 @@ def decode_frame(packed_u8, cfg: SlamConfig):
         step = (xi_max - xi_min) / 4094.0
         mask = (code > 0).astype(jnp.float32)
         xi = ((code.astype(jnp.float32) - 1.0) * step + xi_min) * mask
+        return gray, xi, mask
+    if cfg.depth_codec == "u16h":
+        if packed_u8.ndim != 2 or packed_u8.shape[0] % 3 != 0:
+            raise ValueError(
+                f"depth_codec='u16h' expects a (3H/2, W) packed buffer "
+                f"from pack_frame(..., cfg) with the same codec; got "
+                f"shape {packed_u8.shape}."
+            )
+        h = (packed_u8.shape[0] * 2) // 3
+        gray = packed_u8[:h]
+        d8 = packed_u8[h:]
+        lo = d8[:, 0::2].astype(jnp.uint16)
+        hi = d8[:, 1::2].astype(jnp.uint16)
+        xi_h, mask_h = _image.inverse_depth_from_u16(
+            lo | (hi << 8), cfg.depth_scale, cfg.min_depth, cfg.max_depth
+        )
+        xi, mask = _image.upsample2x_renorm(xi_h, mask_h)
         return gray, xi, mask
     if packed_u8.ndim != 3 or packed_u8.shape[0] != 3:
         raise ValueError(

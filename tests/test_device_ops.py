@@ -167,6 +167,53 @@ def test_u12_depth_codec_roundtrip():
     assert (xi12[m12 == 0] == 0).all()
 
 
+def test_u16h_depth_codec_roundtrip():
+    """The u16h transfer codec (stride-2 decimated raw depth + device
+    validity-renormalized bilinear 2x upsample) must reproduce the
+    decimate+upsample numpy oracle exactly, with even output coordinates
+    BIT-equal to the half-res xi wherever the half-res pixel is valid."""
+    from rgbid_tpu.core.config import SlamConfig
+    from rgbid_tpu.ops.image import inverse_depth_from_u16
+    from rgbid_tpu.tracking.step import decode_frame, pack_frame
+
+    cfg = SlamConfig().override(depth_codec="u16h")
+    rng = np.random.default_rng(7)
+    h, w = 96, 128
+    rgb = rng.integers(0, 255, (h, w, 3), np.uint8)
+    depth = rng.integers(0, 60000, (h, w), np.uint16)
+    depth[rng.random((h, w)) < 0.2] = 0  # invalid holes
+    packed = jnp.asarray(pack_frame(rgb, depth, cfg))
+    assert packed.shape == (h + h // 2, w)  # 1 B gray + 0.5 B depth / px
+    gray, xi, mask = map(np.asarray, decode_frame(packed, cfg))
+
+    xi_h, m_h = map(
+        np.asarray,
+        inverse_depth_from_u16(
+            jnp.asarray(np.ascontiguousarray(depth[::2, ::2])),
+            cfg.depth_scale, cfg.min_depth, cfg.max_depth,
+        ),
+    )
+
+    def up1(x, axis):
+        x = np.moveaxis(x, axis, 0)
+        mid = 0.5 * (x + np.concatenate([x[1:], x[-1:]], 0))
+        out = np.stack([x, mid], 1).reshape(2 * x.shape[0], *x.shape[1:])
+        return np.moveaxis(out, 0, axis)
+
+    num = up1(up1(xi_h * m_h, 0), 1)
+    den = up1(up1(m_h, 0), 1)
+    xi_o = np.where(den > 1e-6, num / np.maximum(den, 1e-6), 0.0)
+    np.testing.assert_array_equal(mask, (den > 1e-6).astype(np.float32))
+    np.testing.assert_allclose(xi, xi_o, atol=1e-7)
+    valid = m_h > 0
+    np.testing.assert_array_equal(xi[::2, ::2][valid], xi_h[valid])
+    np.testing.assert_array_equal(
+        gray, np.asarray(pack_frame(rgb, depth, None))[0]
+    )
+    with pytest.raises(ValueError, match="u16h"):
+        decode_frame(jnp.asarray(pack_frame(rgb, depth, None)), cfg)
+
+
 def test_u12_lut_mask_matches_u16_all_raws_and_configs():
     """Advisor round 3: the u12 LUT's validity must be computed with the
     SAME float32 arithmetic as the u16 device path so boundary raw
