@@ -593,9 +593,11 @@ class SlamConfig:
         | tracking.stacked_gather=True | +4 ms/frame (probe-vs-production inversion) | 4x fewer gather dispatches per sample pass |
         | fusion.fine_rebuild_every=1 | (already default) | rebuild convs are ~us; keep accuracy-first |
 
-        NOT flipped: pipeline_depth stays 16 — flights amortize host sync
-        latency on any platform, and pose-graph corrections publish at
-        flight granularity either way.
+        NOT flipped: pipeline_depth stays at the class default (32 since
+        round 4) — flights amortize host sync latency on any platform,
+        and pose-graph corrections publish at flight granularity either
+        way; latency-sensitive live deployments drop to 8-16 regardless
+        of platform (see the pipeline_depth field note).
         """
         if name in ("default", "sandbox"):
             return cls()
@@ -637,6 +639,13 @@ class SlamConfig:
 
     @classmethod
     def from_json(cls, text: str) -> "SlamConfig":
+        """Parse a (possibly partial) JSON config. Missing keys take the
+        DATACLASS defaults — never re-stated here, so a partial deployment
+        JSON can't silently pin a stale default (round-4 bug: a duplicated
+        ``pipeline_depth=8`` literal here downgraded any JSON that omitted
+        the key to 4x-shallower flights after the dataclass default moved
+        to 32; ``test_preset.py`` now pins from_json("{}") == SlamConfig()).
+        """
         raw = json.loads(text)
         # JSON has no tuples: coerce list-valued fields (iters,
         # consensus_refit_iters, ...) back to tuples generically.
@@ -644,17 +653,24 @@ class SlamConfig:
             k: tuple(v) if isinstance(v, list) else v
             for k, v in raw.get("tracking", {}).items()
         }
+        top = {
+            k: raw[k]
+            for k in (
+                "depth_scale",
+                "max_depth",
+                "min_depth",
+                "depth_codec",
+                "pipeline_depth",
+            )
+            if k in raw
+        }
         return cls(
             tracking=TrackingConfig(**raw_t),
             keyframe=KeyframeConfig(**raw.get("keyframe", {})),
             fusion=FusionConfig(**raw.get("fusion", {})),
             backend=BackendConfig(**raw.get("backend", {})),
             viz=VizConfig(**raw.get("viz", {})),
-            depth_scale=raw.get("depth_scale", 5000.0),
-            max_depth=raw.get("max_depth", 10.0),
-            min_depth=raw.get("min_depth", 0.3),
-            depth_codec=raw.get("depth_codec", "u16"),
-            pipeline_depth=raw.get("pipeline_depth", 8),
+            **top,
         )
 
     def config_hash(self) -> str:

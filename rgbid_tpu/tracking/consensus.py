@@ -54,6 +54,22 @@ import jax.numpy as jnp
 
 from ..ops import gauss_newton
 
+# Pixel-minority caps shared by every "a mover is a pixel minority by
+# construction" gate. Hoisted (advisor round-4) so the vote's gates and
+# the tracker's attack-probe candidate pool can never silently
+# desynchronize on a future tune:
+# - MINORITY_CAP bounds the dominance/hostage candidates AND the
+#   tracker's probe pool (tracker.py): a stratum holding >= 35% of
+#   pixels is contendable scene structure, not an attacker.
+# - ERR_MINORITY_CAP bounds the error-outlier test only, deliberately
+#   LOOSER (round 3): the gauntlet panel covers 34-35% of vote-level
+#   pixels at transit peak — a 0.35 cap broke the mover's streak at
+#   exactly the worst frames (flags at f25-26, blocked at f27 with
+#   nk = 0.35), while decide()'s aggregate max_frac still bounds what a
+#   refit may mask.
+MINORITY_CAP = 0.35
+ERR_MINORITY_CAP = 0.40
+
 
 def stratum_edges(xi_min: float, xi_max: float, k: int) -> jnp.ndarray:
     """K+1 log-spaced inverse-depth bin edges (static, baked into the jit)."""
@@ -94,10 +110,14 @@ class ConsensusResult(NamedTuple):
     info_share: jax.Array = None
     # (K,) f32: information-dominant pixel-minority voter strata — the
     # hostage CANDIDATES, without the hostage's decorrelation/persistence
-    # preconditions. The dominance-probe rescue (tracker.py) uses this as
-    # its one-frame hypothesis mask: only a dominant minority CAN drag
-    # the pose, so it is the only stratum worth a masked re-track before
-    # any streak has ripened.
+    # preconditions. DIAGNOSTIC ONLY: the tracker's attack probe does NOT
+    # read this field — it selects its own candidate from the
+    # information-DENSITY argmax over agreeing minority voters (without
+    # the 2x dominance gate; tracker.py probe pool), because at ballistic
+    # onset the mover's dominance ratio (~1.7x) is indistinguishable from
+    # a rigid near band's (~1.4x) and the 2x gate is correctly silent
+    # there (BASELINE.md round-4 forensics). Exported for forensic traces
+    # and tests.
     dominant: jax.Array = None
 
 
@@ -219,15 +239,11 @@ def analyze(
     # seed-3 ballistic: +45 mm on the very frames the refit fired).
     # The hostage test owns the dragged-majority signature; this test
     # owns fast MINORITY movers.
-    # Minority cap 0.40, NOT 0.35 (round 3): the gauntlet panel covers
-    # 34-35% of vote-level pixels at transit peak — a 0.35 cap broke
-    # the mover's streak at exactly the worst frames (measured: flags
-    # at f25-26, blocked at f27 with nk = 0.35, streak reset mid-onset)
-    # while decide()'s aggregate max_frac (0.4) still bounds what a
-    # refit may mask.
+    # Minority cap ERR_MINORITY_CAP (0.40), NOT 0.35 — see the module
+    # constants' note for the measured round-3 streak-break at 0.35.
     excluded_err = (
         voter
-        & (nk < 0.40 * n_total)
+        & (nk < ERR_MINORITY_CAP * n_total)
         & (err_n > jnp.maximum(err_ratio * err_med * baseline_scale, err_floor))
     )
     # A CLEAR majority (60%), not a bare one: a genuine mover is a 15-30%
@@ -298,7 +314,7 @@ def analyze(
     hostage = (
         dominant
         & enough_voters
-        & (nk < 0.35 * n_total)
+        & (nk < MINORITY_CAP * n_total)
         & (others_med > 2.0 * jnp.maximum(err_n, 1e-3))
         & (others_med > 0.35)
     ).astype(jnp.float32)
@@ -323,7 +339,9 @@ def analyze(
         deltas=deltas,
         hostage=hostage,
         info_share=info_share,
-        dominant=(dominant & (nk < 0.35 * n_total)).astype(jnp.float32),
+        dominant=(dominant & (nk < MINORITY_CAP * n_total)).astype(
+            jnp.float32
+        ),
     )
 
 

@@ -282,11 +282,26 @@ def decode_frame(packed_u8, cfg: SlamConfig):
         xi = ((code.astype(jnp.float32) - 1.0) * step + xi_min) * mask
         return gray, xi, mask
     if cfg.depth_codec == "u16h":
-        if packed_u8.ndim != 2 or packed_u8.shape[0] % 3 != 0:
+        # ndim/rows%3 alone would also pass a u12 buffer whose H happens
+        # to be divisible by 3 (a (H, 5W/2) u12 pack is 2-D too) and then
+        # silently mis-decode; requiring an even width closes that hole —
+        # a u12 buffer's column count 5W/2 is even only when W % 4 == 0,
+        # AND pack_frame's u16h path asserts even H and W, so a genuine
+        # u16h buffer always passes while odd-width impostors never do
+        # (advisor round-4). A W%4==0 u12 buffer with H%3==0 remains
+        # structurally indistinguishable by shape alone; the decoded
+        # garbage there fails the validity mask downstream.
+        if (
+            packed_u8.ndim != 2
+            or packed_u8.shape[0] % 3 != 0
+            or packed_u8.shape[1] % 2 != 0
+        ):
             raise ValueError(
                 f"depth_codec='u16h' expects a (3H/2, W) packed buffer "
-                f"from pack_frame(..., cfg) with the same codec; got "
-                f"shape {packed_u8.shape}."
+                f"(W even) from pack_frame(..., cfg) with the same codec; "
+                f"got shape {packed_u8.shape}. (A (3, H, W) buffer means "
+                f"the frame was packed with the 'u16' codec; a (H, 5W/2) "
+                f"one with 'u12'.)"
             )
         h = (packed_u8.shape[0] * 2) // 3
         gray = packed_u8[:h]

@@ -565,10 +565,14 @@ def _track_impl(
                 # ties must not win).
                 tot_k = jnp.maximum(jnp.sum(nk), 1.0)
                 voter_k = nk >= cfg.consensus_min_frac * tot_k
+                # MINORITY_CAP is shared with analyze()'s dominance /
+                # hostage gates (consensus.py module constants) so the
+                # probe's candidate pool and the vote's gates tune
+                # together.
                 pool = (
                     voter_k
                     & (verdict.excluded < 0.5)
-                    & (nk < 0.35 * tot_k)
+                    & (nk < _cons.MINORITY_CAP * tot_k)
                 )
                 dens = jnp.where(
                     pool,
@@ -851,11 +855,26 @@ def _track_impl(
             # right: credit the streak to the probed stratum and let the
             # false accusation decay, so the episode mask ripens on the
             # MOVER within consensus_persist frames of onset.
+            # Only the INVOLVED strata transfer (advisor round-4): the
+            # probed attacker gets the +1 credit, the vote-excluded
+            # victims (excl_any — the accusations cast at the
+            # mover-locked pose, now known false) decay, and every
+            # UNINVOLVED stratum keeps its normal cons_excluded update —
+            # a second, independent mover flagged through its own
+            # err/hostage path this frame must not have its streak
+            # knocked back on every probe-accept frame (the old
+            # rebuild-from-hist_real form decayed ALL non-probed strata,
+            # which could keep a simultaneous second mover's episode
+            # mask from ever ripening).
             probe_accept = probe_go & (rescue_accepted > 0.5)
             transfer = jnp.where(
                 probe_cand > 0.5,
                 jnp.minimum(hist_real + 1.0, streak_cap),
-                jnp.maximum(hist_real - 1.0, 0.0),
+                jnp.where(
+                    excl_any > 0.5,
+                    jnp.maximum(hist_real - 1.0, 0.0),
+                    cons_excluded,
+                ),
             )
             cons_excluded = jnp.where(probe_accept, transfer, cons_excluded)
         # rescue_out feeds the keyframe-REFOUND decision (rescue_refound)

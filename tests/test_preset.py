@@ -22,6 +22,21 @@ from rgbid_tpu.system import SlamSystem
 INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
 
 
+def test_from_json_partial_takes_dataclass_defaults():
+    """A partial (or empty) deployment JSON must land EXACTLY on the
+    dataclass defaults for every omitted key. Round-4 regression: a
+    duplicated pipeline_depth=8 literal inside from_json silently gave
+    any JSON omitting the key 4x-shallower flights than SlamConfig()."""
+    assert SlamConfig.from_json("{}") == SlamConfig()
+    # Partial sub-config: everything else still at defaults.
+    cfg = SlamConfig.from_json('{"tracking": {"levels": 3}}')
+    assert cfg.tracking.levels == 3
+    assert cfg == SlamConfig().override(**{"tracking.levels": 3})
+    # Top-level scalar override sticks; the rest stays default.
+    cfg2 = SlamConfig.from_json('{"pipeline_depth": 8}')
+    assert cfg2 == SlamConfig().override(pipeline_depth=8)
+
+
 def test_preset_names():
     assert SlamConfig.preset("default") == SlamConfig()
     assert SlamConfig.preset("sandbox") == SlamConfig()
