@@ -129,7 +129,16 @@ def main():
     # compiled programs, so this costs only the frames, not a recompile —
     # and report mean/median + the per-switch marginal cost on stderr.
     # Disable with BENCH_CHURN=0.
-    if os.environ.get("BENCH_CHURN", "1") == "1":
+    # BENCH_CHURN=N runs the churn clip N times through the same compiled
+    # system (reset() keeps the programs, so repeats cost only frames) and
+    # reports each repeat's per-switch marginal plus mean +- spread: the
+    # one-shot marginal is a ~1.4 s difference of two ~21 s wall times
+    # under +-30% tenancy noise, so a single number is meaningless at the
+    # ~15 ms scale (round-4 VERDICT weak #2 — the builder's two one-shot
+    # readings said ~0 and ~12.6 ms, the driver's said ~17.3; the honest
+    # statement is a range). Default 1 keeps the driver's cost unchanged.
+    churn_reps = int(os.environ.get("BENCH_CHURN", "1"))
+    if churn_reps > 0:
         seq2 = synthetic.generate_sequence(
             n_frames=n_warmup + n_frames,
             intr=intr,
@@ -140,31 +149,42 @@ def main():
             xi_noise_sigma=0.005,
         )
         frames2 = list(seq2.frames())
-        slam.reset()
-        elapsed2, flights2 = _run(slam, frames2, n_warmup)
-        n_switches = sum(1 for s in slam.stats if s.get("switch"))
-        slam.finish()
-        gt20 = np.linalg.inv(seq2.gt_poses[0])
-        ate2 = absolute_trajectory_error(
-            [gt20 @ T for T in seq2.gt_poses], slam.poses()
-        )
-        mean2 = elapsed2 * 1e3 / n
-        med2 = float(np.median(flights2)) / depth
-        # Per-switch marginal cost vs the (nearly switch-free) headline:
-        # switches in the TIMED span only (warmup switches excluded).
-        timed_sw = sum(
-            1 for s in slam.stats[n_warmup:] if s.get("switch")
-        )
-        marg = (elapsed2 - elapsed) * 1e3 / max(timed_sw, 1)
-        print(
-            f"bench: CHURN (large_motion-class): mean {mean2:.1f} ms/frame, "
-            f"median flight {med2 * depth:.1f} ms ({med2:.1f} ms/frame), "
-            f"ATE {ate2['rmse'] * 1000:.2f} mm, "
-            f"{len(slam.manager.keyframes)} keyframes "
-            f"({n_switches} switches, {timed_sw} timed), "
-            f"~{marg:.1f} ms marginal/switch vs headline",
-            file=sys.stderr,
-        )
+        margs = []
+        for rep in range(churn_reps):
+            slam.reset()
+            elapsed2, flights2 = _run(slam, frames2, n_warmup)
+            n_switches = sum(1 for s in slam.stats if s.get("switch"))
+            slam.finish()
+            gt20 = np.linalg.inv(seq2.gt_poses[0])
+            ate2 = absolute_trajectory_error(
+                [gt20 @ T for T in seq2.gt_poses], slam.poses()
+            )
+            mean2 = elapsed2 * 1e3 / n
+            med2 = float(np.median(flights2)) / depth
+            # Per-switch marginal cost vs the (nearly switch-free)
+            # headline: switches in the TIMED span only.
+            timed_sw = sum(
+                1 for s in slam.stats[n_warmup:] if s.get("switch")
+            )
+            marg = (elapsed2 - elapsed) * 1e3 / max(timed_sw, 1)
+            margs.append(marg)
+            print(
+                f"bench: CHURN (large_motion-class, rep {rep}): "
+                f"mean {mean2:.1f} ms/frame, "
+                f"median flight {med2 * depth:.1f} ms ({med2:.1f} ms/frame), "
+                f"ATE {ate2['rmse'] * 1000:.2f} mm, "
+                f"{len(slam.manager.keyframes)} keyframes "
+                f"({n_switches} switches, {timed_sw} timed), "
+                f"~{marg:.1f} ms marginal/switch vs headline",
+                file=sys.stderr,
+            )
+        if churn_reps > 1:
+            print(
+                f"bench: CHURN marginal/switch over {churn_reps} reps: "
+                f"mean {np.mean(margs):.1f} ms, min {min(margs):.1f}, "
+                f"max {max(margs):.1f}, sd {np.std(margs):.1f}",
+                file=sys.stderr,
+            )
 
     # A/B: tracker-only variant (what round 1/2 headlined) on stderr.
     # Opt-IN (BENCH_AB=1): it costs a second VGA compile (~6 min on the

@@ -354,6 +354,7 @@ def generate_sequence(
     moving_occluder: bool = False,
     occluder_z: float = 1.4,
     occluder_speed: float | None = None,
+    occluder_window: tuple | None = None,
     kinect_artifacts: float = 0.0,
     **motion_kwargs,
 ) -> SyntheticSequence:
@@ -367,6 +368,13 @@ def generate_sequence(
       per frame in contiguous blobs (structured-light dropouts).
     * ``moving_occluder``: a textured panel sweeping through the view
       over the sequence (dynamic content the occlusion gates must reject).
+    * ``occluder_window``: (on, off) — the panel exists only for frames
+      ``on <= i < off`` (a person walking through and leaving the scene).
+      Ints are frame indices; floats in [0, 1] are fractions of the
+      sequence, resolved as ``round(f * (n_frames - 1))`` so a scenario
+      spec stays length-independent. The panel's sweep position still
+      advances with the ABSOLUTE frame index (it does not freeze while
+      hidden). None (default) = present for the whole sequence.
     * ``motion="handheld"``: jittered trajectory (handheld_trajectory).
     * ``kinect_artifacts``: severity (0..1) of the Kinect-class sensor
       model the plain renderer is kinder than (round-2 VERDICT missing
@@ -427,9 +435,15 @@ def generate_sequence(
             else 2.6 / max(n_frames - 1, 1)
         )
         occ_vel = np.array([speed, 0.0, 0.0])
+    occ_on, occ_off = 0, n_frames
+    if occluder_window is not None:
+        occ_on, occ_off = (
+            int(round(v * (n_frames - 1))) if isinstance(v, float) else int(v)
+            for v in occluder_window
+        )
 
     for i, T in enumerate(poses):
-        if occluder is not None:
+        if occluder is not None and occ_on <= i < occ_off:
             frame_scene = Scene(rects=list(scene.rects))
             occ_i = TexturedRect(
                 p0=occluder.p0 + occ_vel * i,

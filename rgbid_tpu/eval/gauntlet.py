@@ -87,6 +87,26 @@ def scenarios(n_frames: int):
             {},
         ),
         (
+            # Mover EPISODE then REVISIT (round-4 VERDICT item 3): a
+            # walking-class near panel transits during the middle third
+            # of the clip and then LEAVES the scene; the orbit returns to
+            # the founding view at the end. The mover bakes a frozen
+            # world offset into the keyframes founded mid-episode (the
+            # walking row's documented ~16-28 mm tail); the revisit gives
+            # loop closure clean pre-/post-episode keyframe pairs — the
+            # back end's pose graph must reclaim the tail (its actual job
+            # on real fr3/walking). 1.5x frames so the post-episode
+            # runway founds revisit keyframes; panel speed scales with
+            # the clip so its transit stays inside the fractional window
+            # at any --frames (2.7 m over the clip ~= 0.03 m/frame = a
+            # brisk 0.9 m/s walk at the judged 60-frame protocol).
+            "mover_then_revisit",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=1.4,
+                 occluder_window=(1.0 / 3.0, 2.0 / 3.0), **hard_noise),
+            {"_mover_revisit": True},
+        ),
+        (
             # Kinect-class sensor model at full severity (motion blur
             # along the inter-frame flow, 1/8-px disparity-quantized
             # depth staircase, edge dropout, speckle): the stand-in for
@@ -125,7 +145,9 @@ def scenarios(n_frames: int):
     ]
 
 
-def run_scenario(name, seq_kwargs, cfg_over, n_frames, intr, base_over, cache=None):
+def run_scenario(
+    name, seq_kwargs, cfg_over, n_frames, intr, base_over, cache=None, seed=3
+):
     from ..core.config import SlamConfig
     from ..datasets import synthetic
     from ..eval import absolute_trajectory_error, relative_pose_error
@@ -133,8 +155,12 @@ def run_scenario(name, seq_kwargs, cfg_over, n_frames, intr, base_over, cache=No
 
     cfg_over = dict(cfg_over)
     n = cfg_over.pop("_frames", n_frames)
+    mover_revisit = cfg_over.pop("_mover_revisit", False)
+    if mover_revisit:
+        n = (3 * n_frames) // 2
+        seq_kwargs = dict(seq_kwargs, occluder_speed=2.7 / n)
     cfg = SlamConfig().override(**{**base_over, **cfg_over})
-    seq = synthetic.generate_sequence(n_frames=n, intr=intr, seed=3, **seq_kwargs)
+    seq = synthetic.generate_sequence(n_frames=n, intr=intr, seed=seed, **seq_kwargs)
     # Scenario configs are identical for most rows; reuse one compiled
     # system per config hash via reset() (keeps the jitted programs — a
     # fresh SlamSystem pays the multi-minute VGA bootstrap compile per
@@ -159,6 +185,7 @@ def run_scenario(name, seq_kwargs, cfg_over, n_frames, intr, base_over, cache=No
     rpe = relative_pose_error(gt, est)
     return {
         "scenario": name,
+        "seed": seed,
         "frames": n,
         "ate_rmse_mm": round(ate["rmse"] * 1e3, 3),
         "rpe_trans_mm": round(rpe["trans_rmse"] * 1e3, 3),
@@ -178,6 +205,15 @@ def main(argv=None):
     ap.add_argument("--json", action="store_true", help="one JSON line per scenario")
     ap.add_argument("--only", default=None, help="comma-separated scenario filter")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    ap.add_argument(
+        "--seed",
+        type=int,
+        default=3,
+        help="scene/noise seed (a different seed is an independent scene "
+        "draw — geometry, textures, mover texture, AND noise; the "
+        "recorded gauntlet protocol and the regression guards pin seed "
+        "3, the round-5 seed sweep runs 3 more — see BASELINE.md)",
+    )
     args = ap.parse_args(argv)
 
     from ..core.camera import Intrinsics
@@ -202,7 +238,8 @@ def main(argv=None):
         if only and name not in only:
             continue
         r = run_scenario(
-            name, seq_kwargs, cfg_over, args.frames, intr, base_over, cache
+            name, seq_kwargs, cfg_over, args.frames, intr, base_over, cache,
+            seed=args.seed,
         )
         rows.append(r)
         if args.json:
