@@ -89,6 +89,37 @@ VARIANTS = [
         "the occlusion gate's in-kernel ops",
     ),
     ("base_repeat", {}, "tenancy-drift bracket (same config as base)"),
+    # --- follow-up pass (run with --only; informed by the first pass) ---
+    (
+        "floor",
+        {
+            "tracking.iters": (1, 1, 1, 1),
+            "tracking.consensus": False,
+            "fusion.enabled": False,
+        },
+        "program floor: upload+decode+preprocess+4 min-iters+switch+readback",
+    ),
+    (
+        "sched_1_8_12_20",
+        {"tracking.iters": (1, 8, 12, 20)},
+        "candidate: 1 L0 iter, +2 L1 (L0 costs ~8 ms/iter, L1 ~1.1)",
+    ),
+    (
+        "sched_1_8_16_24",
+        {"tracking.iters": (1, 8, 16, 24)},
+        "candidate: budget pushed coarse-ward where iterations are ~free",
+    ),
+    (
+        "floor_l1",
+        {
+            "tracking.levels": 1,
+            "tracking.iters": (1,),
+            "tracking.consensus": False,
+            "fusion.enabled": False,
+        },
+        "floor minus levels 1-3: isolates the coarse pyramid+gradient "
+        "preprocess and the 3 tiny per-level loop machineries",
+    ),
 ]
 
 
@@ -135,7 +166,8 @@ def run_variant(name, overrides, frames, intr, n_warmup, n_flights, base_cfg):
     try:
         from ..tracking.step import pack_frame
 
-        packed = np.asarray(pack_frame(frames[0][0], frames[0][1], cfg))
+        f0 = frames[0]
+        packed = np.asarray(pack_frame(f0.rgb, f0.depth, cfg))
         import jax.numpy as jnp
 
         hlo = _hlo_op_counts(

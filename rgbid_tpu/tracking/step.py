@@ -571,6 +571,17 @@ def _process_frame_impl(
     return res.pack(), kf2, motion2
 
 
+# Compiled-program reuse across ProcessFrame instances: jax.jit's
+# internal cache keys on function identity, so every `functools.partial`
+# built in __init__ would recompile an IDENTICAL program (~45 s flight
+# program + multi-minute bootstrap at VGA on the sandbox, SURVEY App.
+# D #5). (intr, cfg) are hashable value types (NamedTuple + frozen
+# dataclasses), so two systems with equal configuration share one jitted
+# callable — snapshot.restore(), bench A/B arms, and every test that
+# rebuilds a system with an already-seen config skip the recompile.
+_JIT_CACHE: dict = {}
+
+
 class ProcessFrame:
     """Jit-compiled per-frame step bound to (intrinsics, config).
 
@@ -586,6 +597,13 @@ class ProcessFrame:
     def __init__(self, intr: Intrinsics, cfg: SlamConfig):
         self.intr = intr
         self.cfg = cfg
+        try:
+            cached = _JIT_CACHE.get((intr, cfg))
+        except TypeError:  # unhashable field (e.g. list via override)
+            cached = None
+        if cached is not None:
+            self._fn, self._init_kf = cached
+            return
         self._fn = jax.jit(
             functools.partial(_process_frame_impl, intr=intr, cfg=cfg)
         )
@@ -613,6 +631,10 @@ class ProcessFrame:
             )
 
         self._init_kf = jax.jit(_init)
+        try:
+            _JIT_CACHE[(intr, cfg)] = (self._fn, self._init_kf)
+        except TypeError:
+            pass
 
     def init_keyframe(self, packed_u8) -> DeviceKeyframe:
         return self._init_kf(packed_u8)

@@ -20,6 +20,13 @@ from rgbid_tpu.system import SlamSystem
 INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.5, cy=119.5, width=320, height=240)
 
 
+# One compiled system per config hash, shared across tests via reset()
+# (determinism-tested; the gauntlet runner's pattern): the walking-mover
+# and rigid-silence tests use the SAME two configs, so sharing halves
+# this module's system compiles (round-4 VERDICT item 7 — suite time).
+_SYSTEMS: dict = {}
+
+
 def _run(seq, consensus: bool):
     cfg = SlamConfig().override(
         **{
@@ -35,7 +42,13 @@ def _run(seq, consensus: bool):
             "fusion.fuse_every": 1,
         }
     )
-    slam = SlamSystem(INTR, cfg)
+    key = cfg.config_hash()
+    slam = _SYSTEMS.get(key)
+    if slam is None:
+        slam = SlamSystem(INTR, cfg)
+        _SYSTEMS[key] = slam
+    else:
+        slam.reset()
     slam.feed(list(seq.frames()))
     slam.finish()
     gt0 = np.linalg.inv(seq.gt_poses[0])

@@ -25,12 +25,26 @@ INTR = Intrinsics(fx=258.6, fy=258.2, cx=159.3, cy=127.6, width=320, height=240)
 VGA = Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
 
 
+# One compiled system per config hash, shared across this module's tests
+# via reset() (determinism-tested; the eval.gauntlet runner uses the same
+# pattern): five of the tests below use the IDENTICAL backend-off default
+# config, so sharing saves ~4 QVGA compiles (~4 min of the suite's
+# slowest module — round-4 VERDICT item 7).
+_SYSTEMS: dict = {}
+
+
 def _run(seq_kwargs, n_frames=36, **cfg_over):
     cfg = SlamConfig().override(**{"backend.enabled": False, **cfg_over})
     seq = synthetic.generate_sequence(
         n_frames=n_frames, intr=INTR, seed=3, xi_noise_sigma=0.005, **seq_kwargs
     )
-    slam = SlamSystem(INTR, cfg)
+    key = cfg.config_hash()
+    slam = _SYSTEMS.get(key)
+    if slam is None:
+        slam = SlamSystem(INTR, cfg)
+        _SYSTEMS[key] = slam
+    else:
+        slam.reset()
     slam.feed(list(seq.frames()))
     slam.finish()
     gt0 = np.linalg.inv(seq.gt_poses[0])

@@ -258,3 +258,117 @@ def test_sharded_consensus_triggers_identically():
     # stratum gets flagged (nonzero consecutive counts) on BOTH paths.
     assert np.asarray(r1.cons_excluded).max() > 0
     assert np.asarray(r8.cons_excluded).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the ATTACK PROBE's acceptance path under SPMD (round-4 VERDICT
+# weak #8 — the probe's fixed-sigma evidence psums, the probe evidence
+# mask, and the streak transfer were the one consensus mechanism with no
+# sharded == single-device case).
+
+
+def test_sharded_attack_probe_accepts_identically():
+    """A ballistic-onset frame pair where the attack probe FIRES and is
+    ACCEPTED: the sharded tracker must reproduce the single-device pose
+    AND the post-transfer streak exactly. The acceptance path exercises
+    three SPMD-relevant reductions that no other test reaches: the
+    `_err0_fixed` evidence psums (both hypotheses' level-0 errors must
+    psum identically or devices could take different accept branches),
+    the probe evidence mask (built from psum'd vote exclusions), and the
+    streak transfer (attacker credited, vote-named victim decayed).
+
+    The clip is the gauntlet's ballistic near mover (BASELINE.md round-4
+    forensics: the panel locks the coarse solve within one frame of
+    onset, the vote names the occluded static VICTIM under a clear
+    majority, and only the probe's info-density argmax can name the
+    attacker) re-rendered at 320x256 so all four pyramid level heights
+    (256/128/64/32) shard 8 ways."""
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.camera import Intrinsics
+    from rgbid_tpu.core.config import FusionConfig
+    from rgbid_tpu.datasets import synthetic
+    from rgbid_tpu.mapping.keyframe import create_device_keyframe
+    from rgbid_tpu.parallel import ShardedTracker, make_mesh
+    from rgbid_tpu.tracking.frames import preprocess_frame
+    from rgbid_tpu.tracking.tracker import Tracker
+
+    h, w = 256, 320
+    intr = Intrinsics(
+        fx=258.6, fy=258.2, cx=159.5, cy=127.5, width=w, height=h
+    )
+    # The VGA-gauntlet ballistic clip's parameters (seed 3; trajectory
+    # phase scales with n_frames, so render all 60 and slice the onset).
+    seq = synthetic.generate_sequence(
+        n_frames=60,
+        intr=intr,
+        motion="orbit",
+        trans_amp=0.25,
+        rot_amp=0.08,
+        xi_noise_sigma=0.005,
+        moving_occluder=True,
+        occluder_z=1.4,
+        seed=3,
+    )
+    # Production onset: f24 founds a keyframe with the incoming panel in
+    # view; at f25 the coarse solve locks onto the panel from a clean
+    # constant-velocity prior. Reproduce exactly that: template = f24,
+    # current = f25, T_init = the f23->f24 inter-frame delta (what the
+    # motion model predicts), zero persistence history (fresh founding).
+    tcfg = (
+        SlamConfig()
+        .override(**{"tracking.kernel": "xla", "tracking.attack_probe": True})
+        .tracking
+    )
+    pyr_kf = preprocess_frame(
+        jnp.asarray(seq.rgb[24]), jnp.asarray(seq.depth[24]),
+        tcfg.levels, esm=True,
+    )
+    kf = create_device_keyframe(pyr_kf, intr, FusionConfig(), jacobian="esm")
+    cur = preprocess_frame(
+        jnp.asarray(seq.rgb[25]), jnp.asarray(seq.depth[25]),
+        tcfg.levels, esm=True,
+    )
+    delta = np.linalg.inv(seq.gt_poses[24]) @ seq.gt_poses[23]
+    T_init = jnp.asarray(delta, jnp.float32)  # T_ck = I at founding
+    hist = jnp.zeros((tcfg.consensus_bins,), jnp.float32)
+
+    single = Tracker(intr, tcfg)
+    r1 = single.track(kf.levels, cur, T_init, cons_prev=hist)
+    # The probe must actually fire AND be accepted here, or this test
+    # exercises nothing: acceptance transfers the streak to the probed
+    # attacker while the vote's flagged victim DECAYS — so the streak
+    # landing on a stratum the no-probe run did NOT flag is the
+    # accepted-probe signature (a rejected probe leaves the victim's
+    # normal +1 update in place).
+    import dataclasses
+
+    r1_off = Tracker(
+        intr, dataclasses.replace(tcfg, attack_probe=False)
+    ).track(kf.levels, cur, T_init, cons_prev=hist)
+    c_on = np.asarray(r1.cons_excluded)
+    c_off = np.asarray(r1_off.cons_excluded)
+    assert c_on.max() >= 1.0, f"probe never credited a stratum: {c_on}"
+    assert np.argmax(c_on) != np.argmax(c_off), (
+        f"streak not transferred (probe not accepted?): on={c_on} off={c_off}"
+    )
+    # And the accepted probe materially moved the pose off the
+    # mover-locked solution.
+    d_mm = np.linalg.norm(
+        (np.asarray(r1.T) - np.asarray(r1_off.T))[:3, 3]
+    ) * 1e3
+    assert d_mm > 2.0, f"probe acceptance changed pose by only {d_mm:.2f} mm"
+
+    mesh = make_mesh(8, "sp")
+    sharded = ShardedTracker(mesh, intr, tcfg)
+    r8 = sharded.track(kf.levels, cur, T_init, cons_prev=hist)
+    np.testing.assert_allclose(np.asarray(r8.T), np.asarray(r1.T), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(r8.cons_excluded), c_on, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(r8.consensus_frac), float(r1.consensus_frac), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(r8.rescue), float(r1.rescue), atol=1e-6
+    )
