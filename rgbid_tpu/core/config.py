@@ -37,6 +37,23 @@ class TrackingConfig:
     # downward for speed alone: esm_min_level=2 looked speed-neutral on
     # the easy clip but took the walking mover 55 -> 200 mm.
     iters: Tuple[int, ...] = (2, 6, 12, 20)
+    # Per-level TEMPLATE-pixel decimation stride for the IRLS solve
+    # (round-5 speed lever; 1 = every template pixel). The round-5 flight
+    # profile measured the per-iteration cost scaling with PIXELS (bytes
+    # gathered + reduced): 8.1 ms/iter at VGA L0, 1.05 at L1 — the two
+    # full-res iterations are the single largest item in the 67 ms frame.
+    # Stride s keeps every s-th template ROW AND COLUMN: the gather/reduce
+    # bytes drop s^2 x while the CURRENT-frame planes stay full resolution
+    # (full image sharpness at the sampled points — unlike dropping the
+    # level, which blurs), and the solve still uses H*W/s^2 ~ 77k pixels
+    # at VGA s=2, vastly overdetermining 6 DOF. Backprojection uses
+    # stride-scaled intrinsics (exact: pixel (i,j) of the strided grid IS
+    # full-res pixel (s*i, s*j)); projection/Jacobians keep the full
+    # intrinsics. Applies to the TRACKING template only — fusion, template
+    # rebuild, and the keyframe's stored planes stay full resolution.
+    # Measured (round 5, VGA headline + gauntlet A/B incl. the mover
+    # rows): see BASELINE.md round-5 session record before re-tuning.
+    template_stride: Tuple[int, ...] = (1, 1, 1, 1)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).

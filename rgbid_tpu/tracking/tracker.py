@@ -197,6 +197,38 @@ def _track_impl(
             kf, cur, T_init, intrs, cfg, axis_name
         )
 
+    # Template-pixel decimation (TrackingConfig.template_stride): stride
+    # level l's TEMPLATE planes by s — every per-pixel array the IRLS
+    # solve touches (intensity, xi, mask, gradient planes, backprojected
+    # points, gathered corners, Pallas reduce tiles) drops s^2 x in
+    # bytes, while the CURRENT frame's gather stacks stay full
+    # resolution (full image sharpness at the sampled points — unlike
+    # dropping the level, which blurs). Exactness: strided pixel (i, j)
+    # IS full-res pixel (s*i, s*j), so backprojection uses
+    # stride-scaled intrinsics (make_runner) while projection and the
+    # in-kernel warp Jacobians keep the full intrinsics (residual
+    # gradients are sampled from full-res planes in full-res pixel
+    # units). Runs AFTER the affine-illumination moment match (which
+    # keeps its measured full-plane statistics) and applies to the
+    # tracking solve only — fusion and the stored keyframe stay full
+    # resolution. Under SPMD each device strides its own row band; the
+    # sharded == single-device equality needs the per-device band height
+    # divisible by s (VGA/8 = 60 rows: yes).
+    strides = tuple(getattr(cfg, "template_stride", ()) or ())
+    strides = strides + (1,) * max(0, levels - len(strides))
+    if any(s > 1 for s in strides[:levels]):
+        kf = tuple(
+            kl
+            if strides[l] == 1
+            else KeyframeLevel(
+                intensity=kl.intensity[:: strides[l], :: strides[l]],
+                xi=kl.xi[:: strides[l], :: strides[l]],
+                mask=kl.mask[:: strides[l], :: strides[l]],
+                jac=kl.jac[:, :: strides[l], :: strides[l]],
+            )
+            for l, kl in enumerate(kf)
+        )
+
     # Depth-stratified motion consensus (tracking/consensus.py): detect a
     # coherently moving, information-dominant foreground and mask its
     # strata out of the template before they can drag the pose. Three
@@ -293,8 +325,26 @@ def _track_impl(
         # backproject with GLOBAL row indices.
         row_offset = 0
         if axis_name is not None:
+            # kl is already strided here, so the offset is in STRIDED row
+            # units — backprojection through the stride-scaled intrinsics
+            # maps it back to the global full-res row (s * offset).
             row_offset = jax.lax.axis_index(axis_name) * kl.xi.shape[0]
-        kf_points = backproject_grid(kl.xi, intr_l, row_offset)
+        s_l = strides[level]
+        intr_bp = intr_l
+        if s_l > 1:
+            # Decimation keeps pixels at full-res coordinates u0 = s*j,
+            # so x = (s*j - cx)/fx * z = (j - cx/s)/(fx/s) * z: plain
+            # 1/s scaling (NOT level_intrinsics' half-pixel-center map,
+            # which is for blurred+resampled pyramid levels).
+            intr_bp = Intrinsics(
+                fx=intr_l.fx / s_l,
+                fy=intr_l.fy / s_l,
+                cx=intr_l.cx / s_l,
+                cy=intr_l.cy / s_l,
+                width=kl.xi.shape[1],
+                height=kl.xi.shape[0],
+            )
+        kf_points = backproject_grid(kl.xi, intr_bp, row_offset)
         esm = getattr(cfg, "jacobian", "ic") == "esm"
         # Finest-level hard cap on the occlusion-gate threshold (see
         # TrackingConfig.occ_gate_cap): 0.0 = adaptive-only at this level.
@@ -903,8 +953,13 @@ def _track_impl(
     # creation.
     kf_count = jnp.sum(mask0_applied)
     cur_count = jnp.sum(cur[0].mask)
+    # cur_frac normalizes the CURRENT frame's validity count, so its
+    # denominator is the current frame's own (full-res, replicated) pixel
+    # count — independent of template striding/sharding. kf_count and
+    # n_valid may both be template-strided; they share the same
+    # subsampling so their ratio (the overlap fraction) is unchanged.
     n_px = jnp.asarray(
-        kf[0].mask.shape[0] * kf[0].mask.shape[1], jnp.float32
+        cur[0].mask.shape[0] * cur[0].mask.shape[1], jnp.float32
     )
     if axis_name is not None:
         # Keyframe planes are row-sharded (partial counts -> psum); the
@@ -913,7 +968,6 @@ def _track_impl(
         # pixel n_devices times, clip cur_frac to 1, and make the sharded
         # overlap diverge from the single-device value.
         kf_count = jax.lax.psum(kf_count, axis_name)
-        n_px = jax.lax.psum(n_px, axis_name)
     kf_count = jnp.maximum(kf_count, 1.0)
     # GEOMETRIC overlap estimate, normalized for sensor dropout on both
     # sides: with independent validity fractions f_kf and f_cur, the
