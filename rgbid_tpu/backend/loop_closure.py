@@ -215,7 +215,15 @@ class BackendThread:
         self.pg.edges = []
         for e in odo_edges:
             if e.from_id < n and e.to_id < n:
-                self.pg.add_edge(e.from_id, e.to_id, e.T_rel, e.information)
+                # Episode-tagged edges (mover-contaminated interval) are
+                # additionally Huber-robustified: among the soft episode
+                # edges, the iterative reweighting concentrates a loop
+                # closure's correction in the ones carrying real
+                # inconsistency and spares the accurate ones.
+                self.pg.add_edge(
+                    e.from_id, e.to_id, e.T_rel, e.information,
+                    robust=bool(getattr(e, "episode", False)),
+                )
         for e in loop_edges:
             if e["from_id"] < n and e["to_id"] < n:
                 self.pg.add_edge(

@@ -125,8 +125,19 @@ def optimize_pose_graph(
             r = _edge_residual(T[ed.from_id], T[ed.to_id], ed.T_rel)
             info = ed.information
             if ed.robust:
-                # Huber: scale the information by w = min(1, delta/|r|_M).
-                m = float(np.sqrt(max(r @ info @ r, 1e-18)))
+                # Huber: scale the information by w = min(1, delta/|r|),
+                # with |r| the METRIC norm of the 6-vector residual
+                # (m + rad), matching huber_delta's documented scale
+                # (0.1 ~= 100 mm). The Mahalanobis norm sqrt(r'Ir) is
+                # WRONG here: production informations are H*n_valid
+                # (~1e9), so a loop edge bridging a real 100 mm
+                # inconsistency measured m ~= 3e3 and was annihilated
+                # (w ~= 3e-5) against odometry edges of the SAME raw
+                # scale — the one edge carrying the correction was the
+                # one the kernel deleted (round-5 mover_then_revisit
+                # forensics: two 4 mm-accurate bridging edges, 390 mm
+                # tail, post-optimize trajectory moved 2 mm).
+                m = float(np.linalg.norm(r))
                 w = 1.0 if m <= huber_delta else huber_delta / m
                 info = info * w
             Jf, Jt = _numeric_jacobians(T[ed.from_id], T[ed.to_id], ed.T_rel)
@@ -238,8 +249,10 @@ def _optimize_sparse(poses, edges, iterations, damping, huber_delta, fixed):
     its = 0
     for it in range(iterations):
         r = residuals(T)
-        # Huber: scale the information by w = min(1, delta/|r|_M).
-        m = np.sqrt(np.maximum(np.einsum("ei,eij,ej->e", r, info, r), 1e-18))
+        # Huber on the METRIC residual norm (see the dense-path comment:
+        # the Mahalanobis norm at production info scales crushed every
+        # real loop edge to nothing).
+        m = np.sqrt(np.maximum(np.einsum("ei,ei->e", r, r), 1e-18))
         wgt = np.where(robust & (m > huber_delta), huber_delta / m, 1.0)
         info_w = info * wgt[:, None, None]
         Jf = sb.jr_inv_b(r) @ adj_rel

@@ -51,9 +51,13 @@ class TrackingConfig:
     # full-res pixel (s*i, s*j)); projection/Jacobians keep the full
     # intrinsics. Applies to the TRACKING template only — fusion, template
     # rebuild, and the keyframe's stored planes stay full resolution.
-    # Measured (round 5, VGA headline + gauntlet A/B incl. the mover
-    # rows): see BASELINE.md round-5 session record before re-tuning.
-    template_stride: Tuple[int, ...] = (1, 1, 1, 1)
+    # Default (2,2,1,1) since round 5: the full-gauntlet accuracy A/B
+    # (7 scenarios x seeds 3+2, QVGA 60 f) measured it accuracy-NEUTRAL
+    # (rows move within their seed spread, several improve) while the
+    # real-TPU headline gained 14.8 -> 19.1 fps (-25% ms/frame). Set
+    # (1,1,1,1) to recover the exact round-4 numerics. See BASELINE.md
+    # round-5 "template-pixel stride" record before re-tuning.
+    template_stride: Tuple[int, ...] = (2, 2, 1, 1)
     # Student-t degrees of freedom (reference default nu ~= 5).
     student_t_nu: float = 5.0
     # Initial robust scales (intensity in [0,1], inverse depth in 1/m).
@@ -480,6 +484,27 @@ class BackendConfig:
     # this fraction of the best score (+7-8 points at recall 1.0).
     tf_mode: str = "sqrt"
     rel_score: float = 0.65
+    # Odometry edges measured while the CONSENSUS machinery was active
+    # (a ripened episode mask, a dominance/probe rescue, or live vote
+    # exclusions anywhere in the inter-keyframe interval) get their
+    # information scaled by this factor in the pose graph. A mover
+    # episode bakes its drag into exactly those edges; at full stiffness
+    # the optimizer honors them and distributes a loop closure's
+    # correction into the CLEAN edges instead — measured on the round-5
+    # mover_then_revisit forensics: the correct pre-episode keyframes
+    # were dragged to ~372 mm while the mover-locked edges stayed put.
+    # Soft episode edges concentrate the correction where the error
+    # actually is; on clips with no loop closure a tree graph satisfies
+    # soft edges exactly, so this is a no-op there (measured
+    # bit-identical). 1.0 disables. The scale must clear the DYNAMIC
+    # RANGE of clean-edge informations, not just their typical value:
+    # a low-overlap clean edge measured 200x weaker than its neighbors
+    # (2.1e7 vs 4e9), so at 1e-2 a third of the revisit correction still
+    # dumped into it — 1e-4 puts every episode edge well below the
+    # weakest clean edge. Episode edges are also Huber-robustified in
+    # the optimizer so the correction concentrates in the genuinely
+    # inconsistent ones among them.
+    episode_info_scale: float = 1e-4
     # Candidate gating.
     min_score: float = 0.12
     min_keyframe_gap: int = 10

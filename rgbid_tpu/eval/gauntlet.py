@@ -104,7 +104,14 @@ def scenarios(n_frames: int):
             dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
                  moving_occluder=True, occluder_z=1.4,
                  occluder_window=(1.0 / 3.0, 2.0 / 3.0), **hard_noise),
-            {"_mover_revisit": True},
+            # min_keyframe_gap 10 is sized for the ~20-keyframe
+            # large_motion clip; this clip founds ~8-9 keyframes total,
+            # so the production gap would reject EVERY candidate pair
+            # and the row would silently measure nothing (verified:
+            # loop_closures=0, backend ON bit-identical to OFF). Gap 4
+            # keyframes ~= 45 frames here — still a genuine revisit,
+            # never an adjacent-frame match.
+            {"_mover_revisit": True, "backend.min_keyframe_gap": 4},
         ),
         (
             # Kinect-class sensor model at full severity (motion blur
@@ -176,14 +183,25 @@ def run_scenario(
             cache[key] = slam
     t0 = time.perf_counter()
     slam.feed(list(seq.frames()))
-    slam.finish()
-    wall = time.perf_counter() - t0
     gt0 = np.linalg.inv(seq.gt_poses[0])
     gt = [gt0 @ T for T in seq.gt_poses]
+    ate_pre = None
+    if mover_revisit:
+        # The revisit row's POINT is the back end reclaiming the mover
+        # episode's frozen world offset: record ATE before the final
+        # pose-graph optimization so the reclaim is a measured fact
+        # (post must beat pre or the row is failing its job).
+        ate_pre = absolute_trajectory_error(gt, [T.copy() for T in slam.poses()])
+    slam.finish()
+    wall = time.perf_counter() - t0
     est = slam.poses()
     ate = absolute_trajectory_error(gt, est)
     rpe = relative_pose_error(gt, est)
+    out_pre = (
+        {"ate_pre_finish_mm": round(ate_pre["rmse"] * 1e3, 3)} if ate_pre else {}
+    )
     return {
+        **out_pre,
         "scenario": name,
         "seed": seed,
         "frames": n,

@@ -54,7 +54,10 @@ class OdometryEdge:
     from_id: int
     to_id: int
     T_rel: np.ndarray  # T_{from<-to}: maps to-frame points into from-frame
-    information: np.ndarray  # 6x6
+    information: np.ndarray  # 6x6 (already episode-scaled if episode)
+    # Diagnostic: the inter-keyframe interval saw consensus activity, so
+    # ``information`` was scaled by BackendConfig.episode_info_scale.
+    episode: bool = False
 
 
 class KeyframeManager:
@@ -85,8 +88,13 @@ class KeyframeManager:
         self.keyframes.append(kf)
         return kf
 
-    def add_odometry_edge(self, from_id: int, to_id: int, T_rel: np.ndarray, info: np.ndarray):
-        self.edges.append(OdometryEdge(from_id, to_id, T_rel.copy(), info.copy()))
+    def add_odometry_edge(
+        self, from_id: int, to_id: int, T_rel: np.ndarray, info: np.ndarray,
+        episode: bool = False,
+    ):
+        self.edges.append(
+            OdometryEdge(from_id, to_id, T_rel.copy(), info.copy(), episode)
+        )
 
     def finalize(self, kf: Keyframe, device_state: DeviceKeyframe) -> Keyframe:
         """Read back the fused keyframe planes and extract artifacts.

@@ -174,13 +174,19 @@ double pg_build_system(const double* poses,   // N*16
     const double* info_in = e_info + 36 * e;
     double info[36];
     std::memcpy(info, info_in, sizeof(info));
-    // Mahalanobis norm for the Huber weight + error accumulation.
+    // Mahalanobis norm for the error accumulation; the Huber weight uses
+    // the METRIC residual norm (huber_delta's scale, 0.1 ~= 100 mm) —
+    // production informations are H*n_valid (~1e9), so a Mahalanobis-
+    // normed Huber annihilated every loop edge bridging a real
+    // inconsistency (see pose_graph.py).
     double m2 = 0;
     for (int i = 0; i < 6; ++i)
       for (int j = 0; j < 6; ++j) m2 += r[i] * info[i * 6 + j] * r[j];
     if (m2 < 0) m2 = 0;
     if (e_robust[e]) {
-      double m = std::sqrt(m2 > 1e-18 ? m2 : 1e-18);
+      double mr2 = 0;
+      for (int i = 0; i < 6; ++i) mr2 += r[i] * r[i];
+      double m = std::sqrt(mr2 > 1e-18 ? mr2 : 1e-18);
       double wgt = (m <= huber_delta) ? 1.0 : huber_delta / m;
       for (int i = 0; i < 36; ++i) info[i] *= wgt;
       total += m2 * wgt;

@@ -72,11 +72,23 @@ class ShardedTracker:
         self.axis = mesh.axis_names[0]
         self.intrs = tuple(level_intrinsics(intr, l) for l in range(cfg.levels))
         n = mesh.devices.size
+        strides = tuple(getattr(cfg, "template_stride", ()) or ())
+        strides = strides + (1,) * max(0, cfg.levels - len(strides))
         for l in range(cfg.levels):
             h = self.intrs[l].height
             if h % n:
                 raise ValueError(
                     f"level {l} height {h} not divisible by mesh size {n}"
+                )
+            # Each device decimates its OWN row band (template_stride);
+            # per-band [::s] equals the global [::s] restriction only when
+            # the band height divides by s — otherwise bands sample
+            # misaligned rows and sharded silently diverges from
+            # single-device (VGA/8 = 60 rows with s=2: fine).
+            if (h // n) % strides[l]:
+                raise ValueError(
+                    f"level {l} per-device band height {h // n} not "
+                    f"divisible by template_stride {strides[l]}"
                 )
 
         def impl(kf, cur, T_init, cons_prev):

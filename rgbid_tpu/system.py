@@ -76,6 +76,11 @@ class SlamSystem:
         self._frame_count = 0
         self._lost_count = 0
         self._relocalized = False
+        # True if any frame since the last keyframe switch showed live
+        # consensus activity (ripened mask / rescue / vote exclusions) —
+        # tags the NEXT odometry edge as episode-contaminated so the pose
+        # graph can down-weight it (BackendConfig.episode_info_scale).
+        self._episode_since_switch = False
         self.stats: List[dict] = []
 
         # Back end (loop closure + pose graph), optional.
@@ -189,6 +194,16 @@ class SlamSystem:
         T_eff = se3_np.orthonormalize(res_np.T.astype(np.float64))
         T_wc = self.T_wk @ se3_np.inv(T_eff)
         relocalized = False
+        # Consensus activity anywhere in the inter-keyframe interval
+        # (including this frame, which may BE the switch frame) marks the
+        # next odometry edge episode-contaminated. Persist/rescue/vote
+        # exclusions only — a single un-ripened flag is routine noise.
+        if (
+            float(res_np.cons_flags_persist) > 0
+            or float(res_np.rescue) > 0.5
+            or float(res_np.consensus_frac) > 0
+        ):
+            self._episode_since_switch = True
         if lost:
             self._lost_count += 1
             # Recovery: after enough consecutive lost frames, try global
@@ -311,6 +326,7 @@ class SlamSystem:
         # reset the device tracking state (identity pose + velocity).
         self._kf_state = self._step.init_keyframe(packed)
         self._motion = MotionState.initial(self.config.tracking.consensus_bins)
+        self._episode_since_switch = False
         new = self.manager.new_keyframe(timestamp, T_wc)
         new.rgb = np.ascontiguousarray(rgb_u8)
         # Loop edge to the matched keyframe keeps the pose graph connected.
@@ -353,10 +369,17 @@ class SlamSystem:
         new.rgb = np.ascontiguousarray(rec["rgb"])
         if self.viewer is not None:
             new.depth = np.ascontiguousarray(rec["depth"])
-        # Odometry edge old->new: T_{old<-new} = inv(T_ck).
+        # Odometry edge old->new: T_{old<-new} = inv(T_ck). Edges whose
+        # interval saw consensus activity carry the mover's drag; soften
+        # them so loop-closure corrections land THERE, not in the clean
+        # chain (see BackendConfig.episode_info_scale).
         info = np.linalg.pinv(res.cov.astype(np.float64) + 1e-12 * np.eye(6))
+        episode = self._episode_since_switch
+        if episode:
+            info = info * float(self.config.backend.episode_info_scale)
+        self._episode_since_switch = False
         self.manager.add_odometry_edge(
-            old.kf_id, new.kf_id, se3_np.inv(T_ck), info
+            old.kf_id, new.kf_id, se3_np.inv(T_ck), info, episode=episode
         )
         if self.backend is not None:
             self.backend.submit(old, rec["prev_state"])
@@ -499,6 +522,7 @@ class SlamSystem:
         self._frame_count = 0
         self._lost_count = 0
         self._relocalized = False
+        self._episode_since_switch = False
         self.stats = []
 
     def finish(self) -> None:

@@ -34,7 +34,8 @@ def save(system: "SlamSystem", path: str) -> None:
         "stats": system.stats,
         "n_keyframes": len(system.manager.keyframes),
         "edges": [
-            {"from_id": e.from_id, "to_id": e.to_id} for e in system.manager.edges
+            {"from_id": e.from_id, "to_id": e.to_id, "episode": e.episode}
+            for e in system.manager.edges
         ],
     }
     # Accepted loop edges (back end): without them, resumed runs would
@@ -143,7 +144,10 @@ def restore(path: str, config=None) -> "SlamSystem":
         system.manager.keyframes.append(kf)
     for i, e in enumerate(meta["edges"]):
         system.manager.edges.append(
-            OdometryEdge(e["from_id"], e["to_id"], z[f"edge_{i}_T"], z[f"edge_{i}_info"])
+            OdometryEdge(
+                e["from_id"], e["to_id"], z[f"edge_{i}_T"],
+                z[f"edge_{i}_info"], e.get("episode", False),
+            )
         )
     if system.backend is not None:
         # Rehydrate the back end: loop edges back into the optimizer's

@@ -178,6 +178,86 @@ def test_reloc_scorer_rejects_unrelated_views():
     assert not scorer.accept(res, 0)
 
 
+def test_episode_edges_concentrate_loop_correction():
+    """The round-5 revisit mechanism at production info scales: a mover
+    episode bakes its drag into the odometry edges measured during it.
+    If those edges keep full stiffness, the optimizer honors them and
+    dumps a loop closure's correction into the WEAKEST clean edge
+    instead (measured on mover_then_revisit: correct pre-episode
+    keyframes dragged to ~372 mm). Episode edges arrive down-scaled
+    (BackendConfig.episode_info_scale) AND Huber-robustified — the
+    correction must land predominantly in the genuinely inconsistent
+    episode edges, sparing the clean chain entirely; the accurate
+    episode edges, being soft, absorb a bounded share.
+
+    Graph mirrors the forensic record (BASELINE.md round-5): 9 nodes,
+    clean infos 1e7-4e9 (the 1e7 is the low-overlap clean edge that ate
+    a third of the correction at scale 1e-2), two mid-episode edges
+    corrupted by ~0.19 m each, perfect robust loop edges 0<-7 and 1<-8.
+    """
+    rng = np.random.default_rng(7)
+    n = 9
+    gt = [np.eye(4)]
+    for i in range(n - 1):
+        d = np.array([0.25, 0.0, 0.08, 0.0, 0.2, 0.0]) + rng.normal(scale=0.01, size=6)
+        gt.append(gt[-1] @ se3_np.exp(d))
+    true_rels = [se3_np.inv(gt[i]) @ gt[i + 1] for i in range(n - 1)]
+
+    drag = se3_np.exp(np.array([0.13, -0.1, 0.08, 0.02, -0.015, 0.01]))
+    episode = {2, 3, 4, 5, 6}          # edges measured during activity
+    corrupted = {4, 5}                 # the ones actually carrying drag
+    clean_info = {0: 4e9, 1: 2e7, 7: 1e9}  # 1: the weak low-overlap edge
+    scale = 1e-4
+
+    measured, edges = [], []
+    for i in range(n - 1):
+        m = (true_rels[i] @ drag) if i in corrupted else true_rels[i]
+        measured.append(m)
+        if i in episode:
+            edges.append(GraphEdge(i, i + 1, m, np.eye(6) * 1e9 * scale, robust=True))
+        else:
+            edges.append(GraphEdge(i, i + 1, m, np.eye(6) * clean_info[i]))
+    poses = [np.eye(4)]
+    for m in measured:
+        poses.append(poses[-1] @ m)
+    for a, b in ((0, 7), (1, 8)):
+        T_loop = se3_np.inv(gt[a]) @ gt[b]
+        edges.append(GraphEdge(a, b, T_loop, np.eye(6) * 1e9, robust=True))
+
+    pre = [np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(poses, gt)]
+    assert pre[8] > 0.3  # the drag really baked a large offset
+    out = optimize_pose_graph(poses, edges, iterations=40)
+    post = [np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(out["poses"], gt)]
+    # What the mechanism GUARANTEES (measured: post = [0, 0, 0.0004,
+    # 0.071, 0.143, 0.038, 0.073, 0, 0]):
+    # 1. The clean pre-episode chain is spared (the stiff control drags
+    #    node 2 to 0.32 m through the weak clean edge).
+    assert max(post[:3]) < 0.01, post
+    # 2. The revisit-anchored nodes are fully reclaimed.
+    assert max(post[7:]) < 0.01, post
+    # 3. Mid-episode smear is bounded WELL below the baked tail: the
+    #    accurate-but-soft episode edges absorb some stretch (nodes 3-4
+    #    at ~0.07/0.14), but nothing approaches the 0.37 m offset.
+    assert max(post) < 0.45 * pre[8], post
+    # 4. Net trajectory error collapses (mean 0.142 -> 0.036 m).
+    assert float(np.mean(post)) < 0.35 * float(np.mean(pre)), (post, pre)
+
+    # Negative control: the same graph with full-stiffness, non-robust
+    # episode edges drags the clean chain — the documented failure mode
+    # (node 2 lands at ~0.32 m: the correction dumps into the weak
+    # low-overlap clean edge instead of the corrupted episode edges).
+    edges_stiff = [
+        GraphEdge(e.from_id, e.to_id, e.T_rel, np.eye(6) * 1e9)
+        if e.from_id in episode and e.to_id == e.from_id + 1
+        else e
+        for e in edges
+    ]
+    out2 = optimize_pose_graph(poses, edges_stiff, iterations=40)
+    post2 = [np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(out2["poses"], gt)]
+    assert max(post2[:3]) > 0.25, post2
+    assert max(post2[:3]) > 100 * max(post[:3]), (post2, post)
+
+
 # ---------------------------------------------------------------------------
 # Sparse analytic pose graph (round 2): Jacobians, oracle equality, scale
 

@@ -143,9 +143,13 @@ def test_vga_judged_resolution_guard():
     assert not any(s.get("lost") for s in slam.stats)
 
 
-# Round-4 VGA gauntlet table (BASELINE.md, 60 frames/scenario, TPU
-# clean-tenancy run 2026-08-19, attack_probe ON): the recorded evidence
-# this RUN_SLOW test turns into a regression guard. Bounds are 1.8x the
+# Round-5 VGA gauntlet table (BASELINE.md, 60 frames/scenario, TPU run
+# 2026-08-20, SHIPPED defaults: attack_probe ON, template_stride
+# (2,2,1,1), episode-tagged odometry edges, metric-norm Huber): the
+# recorded evidence this RUN_SLOW test turns into a regression guard.
+# Every row reproduced the round-4 stride-1 table within noise or
+# better (large_motion 5.06 -> 3.33: the Huber fix lets its 12 real
+# loop edges act instead of annihilating them). Bounds are 1.8x the
 # recorded ATE (the gauntlet's keyframe-switch timing is chaotically
 # sensitive at the mm level across XLA configs/platforms) with an
 # absolute floor of 1.5 mm; the two near-field mover rows get wider
@@ -154,16 +158,21 @@ def test_vga_judged_resolution_guard():
 # timeline).
 _VGA_RECORDED_MM = {
     "easy_orbit": (0.80, 1.8),
-    "handheld_jitter": (2.49, 1.8),
-    "large_motion": (5.06, 1.8),
-    "exposure_drift": (3.72, 1.8),
-    "depth_holes": (2.32, 1.8),
-    "moving_occluder_mid": (4.87, 1.8),
-    "moving_occluder_near": (9.3, 3.0),
-    "moving_occluder_near_walking": (27.7, 2.0),
-    "kinect_sensor": (1.50, 2.5),
-    "fr3_walking_standin": (5.0, 3.0),
-    "combined_endurance": (2.64, 1.8),
+    "handheld_jitter": (2.62, 1.8),
+    "large_motion": (3.33, 2.0),
+    "exposure_drift": (3.64, 1.8),
+    "depth_holes": (2.38, 1.8),
+    "moving_occluder_mid": (4.96, 1.8),
+    "moving_occluder_near": (9.44, 3.0),
+    "moving_occluder_near_walking": (27.9, 2.0),
+    # Round-5 row (walking-class mover episode, then the orbit revisits
+    # the founding view): recorded VGA 74.4 mm pre-finish -> 18.1 mm
+    # post-finish (real TPU, 2026-08-20) — the pose graph must RECLAIM
+    # the mover-baked world offset, asserted separately below.
+    "mover_then_revisit": (18.1, 3.0),
+    "kinect_sensor": (1.63, 2.5),
+    "fr3_walking_standin": (4.98, 3.0),
+    "combined_endurance": (2.39, 1.8),
 }
 
 
@@ -189,6 +198,21 @@ def test_full_vga_gauntlet_matches_baseline():
         )
         if not ok:
             failures.append((name, r["ate_rmse_mm"], bound))
+        if "ate_pre_finish_mm" in r:
+            # The revisit row's POINT: the final pose-graph optimization
+            # must reclaim the mover-baked world offset (measured
+            # post/pre 0.17-0.35 across seeds 1/2/3/5 + VGA; 0.6 is the
+            # generous envelope — a no-op backend measures ~1.0).
+            reclaimed = r["ate_rmse_mm"] < 0.6 * r["ate_pre_finish_mm"]
+            print(
+                f"{name}: pre-finish {r['ate_pre_finish_mm']:.2f} mm -> "
+                f"post {r['ate_rmse_mm']:.2f} mm "
+                f"{'RECLAIMED' if reclaimed else 'NOT RECLAIMED'}"
+            )
+            if not reclaimed:
+                failures.append(
+                    (name + "/reclaim", r["ate_rmse_mm"], r["ate_pre_finish_mm"])
+                )
     assert not failures, failures
 
 

@@ -50,7 +50,10 @@ def test_native_build_matches_numpy_system():
         r = pg._edge_residual(poses[ed.from_id], poses[ed.to_id], ed.T_rel)
         info = ed.information
         if ed.robust:
-            m = float(np.sqrt(max(r @ info @ r, 1e-18)))
+            # Metric-norm Huber (round 5): the Mahalanobis norm at
+            # production info scales annihilated every real loop edge —
+            # see pose_graph.py's dense-path comment.
+            m = float(max(np.linalg.norm(r), 1e-9))
             w = 1.0 if m <= 0.1 else 0.1 / m
             info = info * w
         Jf, Jt = pg._numeric_jacobians(poses[ed.from_id], poses[ed.to_id], ed.T_rel)

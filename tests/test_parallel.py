@@ -192,6 +192,42 @@ def test_sharded_production_tracker_matches_single_device(esm_pair):
     assert err < 5e-3, err
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_strided_tracker_matches_single_device(esm_pair):
+    """template_stride under shard_map: each device decimates its own row
+    band, which equals the single-device global decimation iff the
+    per-device band height divides by the stride (here 256/8 = 32 rows,
+    stride 2 — the production VGA/8 = 60-row case is likewise even).
+    row_offset is in STRIDED units and flows through the 1/s-scaled
+    backprojection intrinsics, so global full-res row = s*(i + offset) —
+    any error there shifts every off-device band's geometry and cannot
+    cancel. Sharded must equal single-device to reduction-order noise."""
+    import jax.numpy as jnp
+
+    from rgbid_tpu.core.config import TrackingConfig
+    from rgbid_tpu.parallel import ShardedTracker, make_mesh
+    from rgbid_tpu.tracking.tracker import Tracker
+
+    intr, kf, cur, gt_rel = esm_pair
+    cfg = TrackingConfig(
+        levels=3, iters=(2, 4, 8), jacobian="esm", kernel="xla",
+        template_stride=(2, 2, 1),
+    )
+    single = Tracker(intr, cfg)
+    sharded = ShardedTracker(make_mesh(8, "sp"), intr, cfg)
+
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    r1 = single.track(kf.levels, cur, T0)
+    r8 = sharded.track(kf.levels, cur, T0)
+    np.testing.assert_allclose(np.asarray(r8.T), np.asarray(r1.T), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r8.H), np.asarray(r1.H), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(r8.n_valid[0]), float(r1.n_valid[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(r8.overlap), float(r1.overlap), rtol=1e-5)
+    # Strided solve still tracks the pair.
+    err = np.linalg.norm(np.asarray(r8.T)[:3, 3] - gt_rel[:3, 3])
+    assert err < 5e-3, err
+
+
 def test_sharded_consensus_triggers_identically():
     """The depth-stratified consensus must take the SAME decision under
     shard_map as on a single device — the stratified reduction psums its
