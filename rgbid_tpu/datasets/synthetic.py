@@ -355,6 +355,10 @@ def generate_sequence(
     occluder_z: float = 1.4,
     occluder_speed: float | None = None,
     occluder_window: tuple | None = None,
+    moving_occluder2: bool = False,
+    occluder2_z: float = 2.4,
+    occluder2_speed: float | None = None,
+    occluder2_window: tuple | None = None,
     kinect_artifacts: float = 0.0,
     **motion_kwargs,
 ) -> SyntheticSequence:
@@ -375,6 +379,12 @@ def generate_sequence(
       spec stays length-independent. The panel's sweep position still
       advances with the ABSOLUTE frame index (it does not freeze while
       hidden). None (default) = present for the whole sequence.
+    * ``moving_occluder2``: a SECOND independent panel (own texture,
+      depth, window) sweeping right-to-left — two simultaneous movers
+      in different depth strata are the depth-stratified consensus's
+      two-front regime (a probe accepted on one mover's stratum must
+      not knock back the other's streak; tracking/tracker.py streak
+      transfer is scoped to the involved strata for exactly this).
     * ``motion="handheld"``: jittered trajectory (handheld_trajectory).
     * ``kinect_artifacts``: severity (0..1) of the Kinect-class sensor
       model the plain renderer is kinder than (round-2 VERDICT missing
@@ -412,11 +422,18 @@ def generate_sequence(
     rng = np.random.default_rng(seed + 1)
     seq = SyntheticSequence(intr, [], [], [], [], 5000.0)
 
-    occluder = None
-    occ_vel = None
+    def _resolve_window(w):
+        if w is None:
+            return 0, n_frames
+        return tuple(
+            int(round(v * (n_frames - 1))) if isinstance(v, float) else int(v)
+            for v in w
+        )
+
+    occluders = []  # (rect_at_frame_0, velocity, on, off)
     if moving_occluder:
         occ_rng = np.random.default_rng(seed + 7)
-        occluder = TexturedRect(
+        rect = TexturedRect(
             p0=np.array([-1.6, -0.5, occluder_z]),
             eu=np.array([0.55, 0.05, 0.1]),
             ev=np.array([0.0, 0.65, 0.05]),
@@ -434,25 +451,42 @@ def generate_sequence(
             if occluder_speed is not None
             else 2.6 / max(n_frames - 1, 1)
         )
-        occ_vel = np.array([speed, 0.0, 0.0])
-    occ_on, occ_off = 0, n_frames
-    if occluder_window is not None:
-        occ_on, occ_off = (
-            int(round(v * (n_frames - 1))) if isinstance(v, float) else int(v)
-            for v in occluder_window
+        on, off = _resolve_window(occluder_window)
+        occluders.append((rect, np.array([speed, 0.0, 0.0]), on, off))
+    if moving_occluder2:
+        # Independent second mover: own texture draw, right-to-left
+        # sweep, offset vertically so both panels are simultaneously
+        # visible, and (by default) a different depth stratum.
+        occ_rng2 = np.random.default_rng(seed + 13)
+        rect2 = TexturedRect(
+            p0=np.array([1.3, 0.05, occluder2_z]),
+            eu=np.array([0.6, -0.04, 0.08]),
+            ev=np.array([0.0, 0.6, -0.04]),
+            texture=_smooth_texture(occ_rng2),
+            tint=np.array([1.0, 0.9, 0.82], np.float32),
         )
+        speed2 = (
+            occluder2_speed
+            if occluder2_speed is not None
+            else -2.6 / max(n_frames - 1, 1)
+        )
+        on2, off2 = _resolve_window(occluder2_window)
+        occluders.append((rect2, np.array([speed2, 0.0, 0.0]), on2, off2))
 
     for i, T in enumerate(poses):
-        if occluder is not None and occ_on <= i < occ_off:
-            frame_scene = Scene(rects=list(scene.rects))
-            occ_i = TexturedRect(
-                p0=occluder.p0 + occ_vel * i,
-                eu=occluder.eu,
-                ev=occluder.ev,
-                texture=occluder.texture,
-                tint=occluder.tint,
+        active = [
+            TexturedRect(
+                p0=rect.p0 + vel * i,
+                eu=rect.eu,
+                ev=rect.ev,
+                texture=rect.texture,
+                tint=rect.tint,
             )
-            frame_scene.rects.append(occ_i)
+            for rect, vel, on, off in occluders
+            if on <= i < off
+        ]
+        if active:
+            frame_scene = Scene(rects=list(scene.rects) + active)
         else:
             frame_scene = scene
         rgb, d16, _, _ = render_frame(frame_scene, intr, T, 5000.0, xi_noise_sigma, rng)
