@@ -114,6 +114,20 @@ def scenarios(n_frames: int):
             {"_mover_revisit": True, "backend.min_keyframe_gap": 4},
         ),
         (
+            # TWO simultaneous independent walking-speed movers in
+            # different depth strata (z 1.35 sweeping -> and z 2.3
+            # sweeping <-): the depth-stratified consensus's two-front
+            # regime and the scenario the scoped streak transfer exists
+            # for (an accepted probe touches only the involved strata).
+            # Round-5 renderer capability (moving_occluder2).
+            "two_movers",
+            dict(motion="orbit", trans_amp=0.25, rot_amp=0.08,
+                 moving_occluder=True, occluder_z=1.35,
+                 occluder_speed=0.018, moving_occluder2=True,
+                 occluder2_z=2.3, occluder2_speed=-0.018, **hard_noise),
+            {},
+        ),
+        (
             # Kinect-class sensor model at full severity (motion blur
             # along the inter-frame flow, 1/8-px disparity-quantized
             # depth staircase, edge dropout, speckle): the stand-in for
