@@ -171,13 +171,10 @@ _VGA_RECORDED_MM = {
     # the mover-baked world offset, asserted separately below.
     "mover_then_revisit": (18.1, 3.0),
     # Round-5 two-front row (two simultaneous independent walking-speed
-    # movers, renderer's moving_occluder2). PROVISIONAL: recorded from
-    # the QVGA run (37.0 mm, backend ON, seed 3) with the mover-row
-    # factor — the VGA confirmation run was blocked by a TPU-tunnel
-    # outage on 2026-08-20; replace with the measured VGA number at the
-    # next opportunity (walking-class rows historically move ≤1.5x
-    # QVGA -> VGA).
-    "two_movers": (37.0, 3.0),
+    # movers, renderer's moving_occluder2): recorded VGA 19.7 mm, real
+    # TPU 2026-08-20 (QVGA 37.0 — more pixels help the two-front vote,
+    # as on the other walking-class rows); mover-row factor.
+    "two_movers": (19.7, 3.0),
     "kinect_sensor": (1.63, 2.5),
     "fr3_walking_standin": (4.98, 3.0),
     "combined_endurance": (2.39, 1.8),
